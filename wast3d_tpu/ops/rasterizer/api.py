@@ -1,0 +1,135 @@
+"""Render facade: camera + GaussianScene -> image dict.
+
+Mirror of the reference `render()`
+(`/root/reference/gaussian_renderer/__init__.py:18-115`): builds raster
+settings from the camera, supports precomputed-color / precomputed-cov3D
+paths (the `convert_SHs_python` / `compute_cov3D_python` pipeline flags),
+random per-pixel sampling offsets in (-1, 0], and returns the same logical
+outputs {render, depth, radii, visibility_filter} plus final transmittance.
+
+JAX-native differences:
+- images are [H, W, C] float32 (the reference uses CHW torch tensors);
+- the reference's zero-tensor `screenspace_points` / `cam_view_depth`
+  gradient hack (`__init__.py:26-37`) is replaced by an explicit
+  `means2d_offset` input: pass zeros of shape [N, 2] and differentiate
+  with respect to it to obtain the view-space positional gradients used
+  by densification. The camera-view-depth gradient needs no hack at all —
+  autodiff routes depth gradients to means through the view matrix
+  (what `backward.cu:395-397` hand-codes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from wast3d_tpu.core.camera import Camera
+from wast3d_tpu.core.sh import eval_sh_color
+from wast3d_tpu.ops.rasterizer import oracle as oracle_mod
+from wast3d_tpu.ops.rasterizer import preprocess as prep_mod
+from wast3d_tpu.ops.rasterizer import tiled as tiled_mod
+from wast3d_tpu.scene.gaussians import GaussianScene
+
+
+class RasterizeSettings(NamedTuple):
+    """Static knobs of the tiled renderer (all shape-affecting)."""
+
+    renderer: str = "tiled"  # "tiled" | "oracle"
+    dup_capacity: int = 1 << 18
+    max_per_tile: int = 1024
+    chunk: int = 32
+    max_tiles_per_gaussian: int = 64
+
+
+def random_sampling_offsets(key: jax.Array, height: int, width: int) -> jnp.ndarray:
+    """Uniform in (-1, 0], matching `torch.rand(...) * -1`
+    (`gaussian_renderer/__init__.py:31`)."""
+    return -jax.random.uniform(key, (height, width, 2), jnp.float32)
+
+
+def render(
+    camera: Camera,
+    scene: GaussianScene,
+    bg_color: jnp.ndarray,
+    scaling_modifier: float = 1.0,
+    override_color: Optional[jnp.ndarray] = None,
+    settings: RasterizeSettings = RasterizeSettings(),
+    sampling_offsets: Optional[jnp.ndarray] = None,
+    means2d_offset: Optional[jnp.ndarray] = None,
+    convert_shs_python: bool = False,
+    compute_cov3d_python: bool = False,
+) -> dict:
+    """Render the scene from `camera`. Returns a dict with:
+    render [H,W,3], depth [H,W], final_T [H,W], radii [N], visibility_filter
+    [N] bool, overflow [] bool (oracle path: overflow always False)."""
+    colors_precomp = None
+    shs = None
+    if override_color is not None:
+        colors_precomp = override_color
+    elif convert_shs_python:
+        dirs = scene.get_xyz - camera.camera_center[None, :]
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        colors_precomp = eval_sh_color(
+            scene.active_sh_degree, jnp.swapaxes(scene.get_features, 1, 2), dirs
+        )
+    else:
+        shs = scene.get_features
+
+    scales = rotations = cov3d_precomp = None
+    if compute_cov3d_python:
+        cov3d_precomp = scene.get_covariance(scaling_modifier)
+    else:
+        scales = scene.get_scaling
+        rotations = scene.get_rotation
+
+    prep = prep_mod.preprocess(
+        means3d=scene.get_xyz,
+        opacities=scene.get_opacity,
+        view_transform=camera.view_transform,
+        full_proj_transform=camera.full_proj_transform,
+        camera_center=camera.camera_center,
+        tan_fovx=camera.tan_fovx,
+        tan_fovy=camera.tan_fovy,
+        width=camera.width,
+        height=camera.height,
+        sh_degree=scene.active_sh_degree,
+        shs=shs,
+        colors_precomp=colors_precomp,
+        scales=scales,
+        rotations=rotations,
+        cov3d_precomp=cov3d_precomp,
+        scaling_modifier=scaling_modifier,
+        mask=scene.mask,
+    )
+    if means2d_offset is not None:
+        prep = prep._replace(means2d=prep.means2d + means2d_offset)
+
+    if settings.renderer == "oracle":
+        color, depth, final_T = oracle_mod.render_oracle(
+            prep, camera.width, camera.height, bg_color, sampling_offsets
+        )
+        overflow = jnp.zeros((), bool)
+    else:
+        out = tiled_mod.render_tiled(
+            prep,
+            camera.width,
+            camera.height,
+            bg_color,
+            sampling_offsets,
+            dup_capacity=settings.dup_capacity,
+            max_per_tile=settings.max_per_tile,
+            chunk=settings.chunk,
+            max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+        )
+        color, depth, final_T, overflow = out
+
+    return {
+        "render": color,
+        "depth": depth,
+        "final_T": final_T,
+        "radii": prep.radii,
+        "visibility_filter": prep.radii > 0,
+        "overflow": overflow,
+    }
