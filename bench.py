@@ -1,0 +1,135 @@
+"""Benchmark harness: prints ONE JSON line for the driver.
+
+Measures the production metric ladder on the available accelerator:
+  - rasterizer forward MPix/s at BENCH_N Gaussians (the north-star
+    "MPix/s rasterized" metric from BASELINE.md),
+  - full train-step (render + loss + backward + Adam) steps/s,
+  - stylization fit steps/s once the stylize stack lands (auto-included
+    when available).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the
+stand-in baseline is the upstream 3DGS paper's "real-time (>100 FPS at
+1080p)" rendering claim on an RTX A6000 = 100 * 1920*1080 / 1e6 ~= 207
+MPix/s forward. vs_baseline = ours / 207.4.
+
+Env knobs: BENCH_N (gaussians, default 500_000), BENCH_RES (default
+800x800), BENCH_ITERS (default 20).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def _build(n, cap):
+    import jax.numpy as jnp
+    from wast3d_tpu.core.sh import rgb_to_sh
+    from wast3d_tpu.core.transforms import inverse_sigmoid
+    from wast3d_tpu.scene import gaussians as G
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-6)
+    pts *= rng.uniform(0.8, 1.2, (n, 1)).astype(np.float32)
+    return G.from_arrays(
+        xyz=pts,
+        features_dc=np.asarray(
+            rgb_to_sh(jnp.asarray(rng.uniform(0.2, 0.8, (n, 3)), jnp.float32))
+        )[:, None, :],
+        features_rest=np.zeros((n, 15, 3), np.float32),
+        scaling=np.log(rng.uniform(0.004, 0.012, (n, 3))).astype(np.float32),
+        rotation=np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1)),
+        opacity=np.asarray(
+            inverse_sigmoid(jnp.asarray(rng.uniform(0.4, 0.9, (n, 1)), jnp.float32))
+        ),
+        capacity=cap,
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from wast3d_tpu.core.camera import look_at_camera
+    from wast3d_tpu.ops.rasterizer import api
+
+    n = int(os.environ.get("BENCH_N", 200_000))
+    res = os.environ.get("BENCH_RES", "800x800")
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    w, h = (int(x) for x in res.split("x"))
+
+    scene = _build(n, cap=n)
+    cam = look_at_camera(
+        eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
+        fovx=0.9, fovy=0.9, width=w, height=h,
+    )
+    bg = jnp.zeros(3)
+    settings = api.RasterizeSettings(
+        renderer="tiled",
+        dup_capacity=max(1 << 21, 4 * n),
+        max_per_tile=int(os.environ.get("BENCH_MAX_PER_TILE", 1024)),
+        chunk=32,
+    )
+
+    @jax.jit
+    def fwd(scene, camera, bg):
+        return api.render(camera, scene, bg, settings=settings)["render"]
+
+    out = fwd(scene, cam, bg)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(scene, cam, bg)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    mpix_s = (w * h / 1e6) / dt
+
+    # Secondary: full differentiable step time (render+loss+grad+Adam).
+    from wast3d_tpu.config import OptimizationConfig
+    from wast3d_tpu.train import reconstruct as R
+
+    state = R.init_train_state(scene, OptimizationConfig(), 1.0)
+    gt = out
+    key = jax.random.PRNGKey(0)
+    st, _ = R.train_step(
+        state, cam, gt, bg, key, opt_cfg=OptimizationConfig(),
+        settings=settings, width=w, height=h, jitter=False,
+    )
+    jax.block_until_ready(st.scene.xyz)
+    t0 = time.perf_counter()
+    steps = max(5, iters // 2)
+    for _ in range(steps):
+        st, _ = R.train_step(
+            st, cam, gt, bg, key, opt_cfg=OptimizationConfig(),
+            settings=settings, width=w, height=h, jitter=False,
+        )
+    jax.block_until_ready(st.scene.xyz)
+    step_s = steps / (time.perf_counter() - t0)
+
+    baseline_mpix = 207.4  # upstream 3DGS ">100FPS @1080p" claim
+    print(
+        json.dumps(
+            {
+                "metric": f"rasterize_fwd_mpix_per_s@{n}g_{res}",
+                "value": round(mpix_s, 2),
+                "unit": "MPix/s",
+                "vs_baseline": round(mpix_s / baseline_mpix, 3),
+                "aux": {
+                    "train_step_per_s": round(step_s, 3),
+                    "device": str(jax.devices()[0]),
+                    "n_gaussians": n,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,7 @@ from dataclasses import dataclass, field, fields
 from typing import Any, Optional
 
 
-@dataclass
+@dataclass(frozen=True)
 class ModelConfig:
     """Reference `ModelParams` (`arguments/__init__.py:47-62`)."""
 
@@ -30,7 +30,7 @@ class ModelConfig:
     eval: bool = False
 
 
-@dataclass
+@dataclass(frozen=True)
 class PipelineConfig:
     """Reference `PipelineParams` (`arguments/__init__.py:64-69`).
 
@@ -43,7 +43,7 @@ class PipelineConfig:
     debug: bool = False
 
 
-@dataclass
+@dataclass(frozen=True)
 class OptimizationConfig:
     """Reference `OptimizationParams` (`arguments/__init__.py:71-89`)."""
 
@@ -65,7 +65,7 @@ class OptimizationConfig:
     densify_grad_threshold: float = 0.0002
 
 
-@dataclass
+@dataclass(frozen=True)
 class SphereConfig:
     """Style-scene sphere regularizer weights.
 
@@ -82,7 +82,7 @@ class SphereConfig:
     lambda_min_scale: float = 0.0
 
 
-@dataclass
+@dataclass(frozen=True)
 class StylizeConfig:
     """WaSt-3D stylization pipeline knobs (notebook 11 defaults).
 
