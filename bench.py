@@ -72,7 +72,7 @@ def main():
     )
     bg = jnp.zeros(3)
     settings = api.RasterizeSettings(
-        renderer="tiled",
+        renderer=os.environ.get("BENCH_RENDERER", "pallas"),
         dup_capacity=max(1 << 21, 4 * n),
         max_per_tile=int(os.environ.get("BENCH_MAX_PER_TILE", 1024)),
         chunk=32,

@@ -1,0 +1,141 @@
+"""Pallas blend kernel tests (interpreter mode on CPU): forward and
+gradient parity against the XLA tiled path and the oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wast3d_tpu.ops.rasterizer import api
+from tests.test_rasterizer import _cam, _random_scene, _scene_from, BLACK, WHITE
+
+
+PALLAS = api.RasterizeSettings(
+    renderer="pallas", dup_capacity=1 << 13, pallas_interpret=True
+)
+TILED = api.RasterizeSettings(
+    renderer="tiled", dup_capacity=1 << 13, max_per_tile=256, chunk=16
+)
+
+
+class TestForwardParity:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_tiled(self, seed):
+        cam = _cam(w=80, h=48)
+        s = _random_scene(n=120, seed=seed)
+        t = api.render(cam, s, WHITE, settings=TILED)
+        p = api.render(cam, s, WHITE, settings=PALLAS)
+        assert not bool(p["overflow"])
+        np.testing.assert_allclose(
+            np.asarray(p["render"]), np.asarray(t["render"]), atol=3e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(p["depth"]), np.asarray(t["depth"]), atol=3e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(p["final_T"]), np.asarray(t["final_T"]), atol=3e-3
+        )
+
+    def test_with_jitter(self):
+        cam = _cam(w=32, h=32)
+        s = _random_scene(n=50, seed=2)
+        off = api.random_sampling_offsets(jax.random.PRNGKey(0), 32, 32)
+        t = api.render(cam, s, BLACK, sampling_offsets=off, settings=TILED)
+        p = api.render(cam, s, BLACK, sampling_offsets=off, settings=PALLAS)
+        np.testing.assert_allclose(
+            np.asarray(p["render"]), np.asarray(t["render"]), atol=3e-3
+        )
+
+    def test_nonmultiple_size(self):
+        cam = _cam(w=50, h=34)
+        s = _random_scene(n=60, seed=3)
+        p = api.render(cam, s, BLACK, settings=PALLAS)
+        t = api.render(cam, s, BLACK, settings=TILED)
+        assert p["render"].shape == (34, 50, 3)
+        np.testing.assert_allclose(
+            np.asarray(p["render"]), np.asarray(t["render"]), atol=3e-3
+        )
+
+    def test_saturating_scene_early_exit(self):
+        # Many opaque splats stacked: exercises the early-termination path.
+        rng = np.random.default_rng(4)
+        n = 100
+        s = _scene_from(
+            xyz=np.concatenate(
+                [rng.normal(size=(n, 2)) * 0.05, np.linspace(-1, 1, n)[:, None]],
+                axis=1,
+            ),
+            rgb=rng.uniform(0.2, 1.0, (n, 3)),
+            scale=np.full((n, 3), 0.3),
+            opacity=np.full((n, 1), 0.95),
+        )
+        cam = _cam(w=32, h=32)
+        t = api.render(cam, s, BLACK, settings=TILED)
+        p = api.render(cam, s, BLACK, settings=PALLAS)
+        assert float(p["final_T"].min()) < 1e-3  # saturated somewhere
+        np.testing.assert_allclose(
+            np.asarray(p["render"]), np.asarray(t["render"]), atol=3e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(p["final_T"]), np.asarray(t["final_T"]), atol=1e-4
+        )
+
+
+class TestGradientParity:
+    def _loss(self, cam, scene, settings, field="xyz"):
+        target = jnp.zeros((cam.height, cam.width, 3))
+        ramp = jnp.linspace(0.0, 1.0, cam.height)[:, None, None]
+
+        def f(x):
+            s2 = scene.replace(**{field: x})
+            out = api.render(cam, s2, BLACK, settings=settings)
+            return jnp.mean((out["render"] - target) ** 2 * ramp) + 0.1 * jnp.mean(
+                out["depth"] * ramp[..., 0]
+            )
+
+        return f
+
+    @pytest.mark.parametrize("field", ["xyz", "scaling", "opacity", "features_dc"])
+    def test_grads_match_tiled(self, field):
+        cam = _cam(w=32, h=32)
+        s = _random_scene(n=40, seed=5)
+        g_t = jax.grad(self._loss(cam, s, TILED, field))(getattr(s, field))
+        g_p = jax.grad(self._loss(cam, s, PALLAS, field))(getattr(s, field))
+        scale = np.abs(np.asarray(g_t)).max() + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(g_p) / scale, np.asarray(g_t) / scale, atol=2e-3,
+            err_msg=field,
+        )
+
+    def test_grads_with_saturation(self):
+        # Early-exit path in backward: zero grads for occluded entries.
+        rng = np.random.default_rng(6)
+        n = 60
+        s = _scene_from(
+            xyz=np.concatenate(
+                [rng.normal(size=(n, 2)) * 0.05, np.linspace(-1, 1, n)[:, None]],
+                axis=1,
+            ),
+            rgb=rng.uniform(0.2, 1.0, (n, 3)),
+            scale=np.full((n, 3), 0.3),
+            opacity=np.full((n, 1), 0.95),
+        )
+        cam = _cam(w=32, h=32)
+        g_t = jax.grad(self._loss(cam, s, TILED))(s.xyz)
+        g_p = jax.grad(self._loss(cam, s, PALLAS))(s.xyz)
+        scale = np.abs(np.asarray(g_t)).max() + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(g_p) / scale, np.asarray(g_t) / scale, atol=3e-3
+        )
+
+    def test_finite_difference(self):
+        cam = _cam(w=16, h=16)
+        s = _scene_from([[0.1, -0.1, 0]], [[0.9, 0.3, 0.5]], [[0.4] * 3], [[0.7]])
+        f = self._loss(cam, s, PALLAS)
+        g = np.asarray(jax.grad(f)(s.xyz))
+        eps = 1e-3
+        for dim in range(3):
+            e = np.zeros_like(np.asarray(s.xyz))
+            e[0, dim] = eps
+            fd = (float(f(s.xyz + e)) - float(f(s.xyz - e))) / (2 * eps)
+            np.testing.assert_allclose(g[0, dim], fd, rtol=3e-2, atol=1e-5)

@@ -34,13 +34,19 @@ from wast3d_tpu.scene.gaussians import GaussianScene
 
 
 class RasterizeSettings(NamedTuple):
-    """Static knobs of the tiled renderer (all shape-affecting)."""
+    """Static knobs of the tiled renderer (all shape-affecting).
 
-    renderer: str = "tiled"  # "tiled" | "oracle"
+    renderer: "pallas" (production TPU kernel path), "tiled" (pure-XLA
+    padded path; also the reference implementation for the kernel), or
+    "oracle" (per-pixel exact, tests only). pallas_interpret runs the
+    Pallas kernels in interpreter mode (CPU tests)."""
+
+    renderer: str = "tiled"  # "pallas" | "tiled" | "oracle"
     dup_capacity: int = 1 << 18
     max_per_tile: int = 1024
     chunk: int = 32
     max_tiles_per_gaussian: int = 64
+    pallas_interpret: bool = False
 
 
 def random_sampling_offsets(key: jax.Array, height: int, width: int) -> jnp.ndarray:
@@ -111,6 +117,20 @@ def render(
             prep, camera.width, camera.height, bg_color, sampling_offsets
         )
         overflow = jnp.zeros((), bool)
+    elif settings.renderer == "pallas":
+        from wast3d_tpu.ops.rasterizer.pallas_path import render_pallas
+
+        out = render_pallas(
+            prep,
+            camera.width,
+            camera.height,
+            bg_color,
+            sampling_offsets,
+            dup_capacity=settings.dup_capacity,
+            max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+            interpret=settings.pallas_interpret,
+        )
+        color, depth, final_T, overflow = out
     else:
         out = tiled_mod.render_tiled(
             prep,

@@ -2,22 +2,29 @@
 
 TPU-native re-design of the CUDA binning stage
 (`/root/reference/submodules/diff-gaussian-rasterization/cuda_rasterizer/
-rasterizer_impl.cu:198-343`): where the CUDA code does
-InclusiveSum -> duplicateWithKeys -> cub radix sort -> identifyTileRanges
-with dynamically-sized buffers, we build the same [tile|depth] key list at
-**static capacity** with XLA primitives:
+rasterizer_impl.cu:198-343`). The CUDA code radix-sorts 64-bit
+[tile|depth] keys (`duplicateWithKeys`, `:70,291`); sorting wide keys and
+scattering three payload buffers is exactly what's slow on TPU, so the
+pipeline is restructured:
 
-- per-Gaussian tile rects from screen radius (`getRect`, `auxiliary.h:46-56`),
-- exclusive-cumsum offsets + masked scatter to emit up to `max_tiles_per_gaussian`
-  duplicates per Gaussian into a `dup_capacity`-sized buffer,
-- a single `lax.sort` on a packed int64 [tile_id << 32 | depth_bits] key
-  (positive-float depth bits are order-preserving as int32),
-- per-tile ranges by `searchsorted`.
+1. **Depth pre-sort** the N Gaussians once (cheap: N << #duplicates).
+2. Emit duplicate (tile_id, gaussian) pairs in depth order via
+   exclusive-cumsum offsets + masked scatter at static capacity. Emission
+   is two-phase to bound scatter volume: every Gaussian gets
+   `phase_a_tiles` slots (covers the overwhelmingly common small rects),
+   and a `top_k`-selected big-Gaussian subset gets the remaining
+   `max_tiles_per_gaussian - phase_a_tiles` slots. Each Gaussian's
+   duplicates stay contiguous, so buffer position remains depth-monotone.
+3. **Stable single-key sort by tile id** — stability inherits the depth
+   order from step 1, replacing the 64-bit key sort with an int32 sort.
+4. Per-tile ranges via searchsorted (`identifyTileRanges`,
+   `rasterizer_impl.cu:116`).
 
 Static capacities are the XLA-shape price: Gaussians whose rect exceeds
-`max_tiles_per_gaussian` tiles, or duplicates beyond `dup_capacity`, are
-dropped (counted in the returned overflow diagnostics). The CUDA version
-has no such caps; callers size them so overflow is zero in practice.
+`max_tiles_per_gaussian` tiles, ones with rect > phase_a_tiles that miss
+the big-subset budget, or duplicates beyond `dup_capacity`, are dropped
+and counted in the returned overflow diagnostics. The CUDA version has no
+caps; callers size them so overflow stays zero.
 """
 
 from __future__ import annotations
@@ -31,7 +38,7 @@ TILE = 16  # BLOCK_X = BLOCK_Y = 16 (config.h:16-17)
 
 
 class Binning(NamedTuple):
-    gauss_idx: jnp.ndarray  # [K] gaussian index per sorted duplicate
+    gauss_idx: jnp.ndarray  # [K] original gaussian index per sorted duplicate
     tile_of_dup: jnp.ndarray  # [K] tile id per sorted duplicate (num_tiles = invalid)
     tile_start: jnp.ndarray  # [T] range starts into the sorted list
     tile_end: jnp.ndarray  # [T] range ends
@@ -68,56 +75,83 @@ def bin_gaussians(
     height: int,
     dup_capacity: int,
     max_tiles_per_gaussian: int = 64,
+    phase_a_tiles: int = 8,
+    big_budget_divisor: int = 16,
 ) -> Binning:
     """Build the depth-sorted per-tile Gaussian lists."""
     n = means2d.shape[0]
     grid_x, grid_y = tile_grid(width, height)
     num_tiles = grid_x * grid_y
 
-    xmin, ymin, xmax, ymax = compute_rects(means2d, radii, grid_x, grid_y)
+    # 1. Depth pre-sort (invalid to the back).
+    order = jnp.argsort(jnp.where(radii > 0, depths, jnp.inf)).astype(jnp.int32)
+    means2d_s = means2d[order]
+    radii_s = radii[order]
+
+    xmin, ymin, xmax, _ymax = compute_rects(means2d_s, radii_s, grid_x, grid_y)
     rect_w = xmax - xmin
-    tiles_touched = rect_w * (ymax - ymin)
-    tiles_emitted = jnp.minimum(tiles_touched, max_tiles_per_gaussian)
+    tiles_touched = rect_w * (_ymax - ymin)
 
-    offsets = jnp.cumsum(tiles_emitted) - tiles_emitted  # exclusive
-    total = offsets[-1] + tiles_emitted[-1]
-    overflow_rect = jnp.any(tiles_touched > max_tiles_per_gaussian)
-    overflow_cap = total > dup_capacity
+    # 2. Two-phase emission budget.
+    ra = min(phase_a_tiles, max_tiles_per_gaussian)
+    rb = max_tiles_per_gaussian - ra
+    n_big = max(256, n // big_budget_divisor)
+    n_big = min(n_big, n)
+    te_a = jnp.minimum(tiles_touched, ra)
+    if rb > 0 and n_big > 0:
+        big_score = jnp.where(tiles_touched > ra, tiles_touched, 0)
+        _, big_idx = jax.lax.top_k(big_score, n_big)  # indices into sorted order
+        is_big = jnp.zeros((n,), bool).at[big_idx].set(big_score[big_idx] > 0)
+        te_b = jnp.where(is_big, jnp.clip(tiles_touched - ra, 0, rb), 0)
+    else:
+        big_idx = jnp.zeros((1,), jnp.int32)
+        is_big = jnp.zeros((n,), bool)
+        te_b = jnp.zeros((n,), jnp.int32)
+    te = te_a + te_b
+    offsets = jnp.cumsum(te) - te  # exclusive; contiguous per gaussian
+    total = offsets[-1] + te[-1]
 
-    # Emit (gaussian, r) pairs, r indexing the rect row-major.
-    r_idx = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)[None, :]  # [1,R]
-    rw = jnp.maximum(rect_w, 1)[:, None]
-    tile_x = xmin[:, None] + r_idx % rw
-    tile_y = ymin[:, None] + r_idx // rw
-    tile_id = tile_y * grid_x + tile_x  # [N,R]
-    pair_valid = r_idx < tiles_emitted[:, None]
-    pos = offsets[:, None] + r_idx  # [N,R]
-    pos = jnp.where(pair_valid & (pos < dup_capacity), pos, dup_capacity)
+    overflow = (
+        jnp.any((tiles_touched > ra) & ~is_big)
+        | jnp.any(tiles_touched > max_tiles_per_gaussian)
+        | (total > dup_capacity)
+    )
 
-    # Scatter into capacity buffers ('drop' mode ignores pos == dup_capacity).
-    flat_pos = pos.reshape(-1)
-    flat_tile = tile_id.reshape(-1)
-    flat_gauss = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape
-    ).reshape(-1)
     tiles_buf = jnp.full((dup_capacity,), num_tiles, jnp.int32)
     gauss_buf = jnp.zeros((dup_capacity,), jnp.int32)
-    depth_buf = jnp.full((dup_capacity,), jnp.float32(jnp.finfo(jnp.float32).max))
-    tiles_buf = tiles_buf.at[flat_pos].set(flat_tile, mode="drop")
-    gauss_buf = gauss_buf.at[flat_pos].set(flat_gauss, mode="drop")
-    depth_buf = depth_buf.at[flat_pos].set(
-        jnp.broadcast_to(depths[:, None], tile_id.shape).reshape(-1), mode="drop"
+
+    def emit(tiles_buf, gauss_buf, sel, r0, r_count, base_off):
+        """Scatter (tile, gauss) pairs for rect positions [r0, r0+r_count)
+        of the selected gaussians. sel: indices into sorted order."""
+        r_idx = r0 + jnp.arange(r_count, dtype=jnp.int32)[None, :]
+        rw = jnp.maximum(rect_w[sel], 1)[:, None]
+        tx = xmin[sel][:, None] + r_idx % rw
+        ty = ymin[sel][:, None] + r_idx // rw
+        tile_id = ty * grid_x + tx
+        valid = r_idx < (te_a[sel] + te_b[sel])[:, None]
+        pos = base_off[:, None] + r_idx
+        pos = jnp.where(valid & (pos < dup_capacity), pos, dup_capacity)
+        flat_pos = pos.reshape(-1)
+        tiles_buf = tiles_buf.at[flat_pos].set(tile_id.reshape(-1), mode="drop")
+        gauss_buf = gauss_buf.at[flat_pos].set(
+            jnp.broadcast_to(order[sel][:, None], tile_id.shape).reshape(-1),
+            mode="drop",
+        )
+        return tiles_buf, gauss_buf
+
+    all_idx = jnp.arange(n, dtype=jnp.int32)
+    tiles_buf, gauss_buf = emit(tiles_buf, gauss_buf, all_idx, 0, ra, offsets)
+    if rb > 0 and n_big > 0:
+        tiles_buf, gauss_buf = emit(
+            tiles_buf, gauss_buf, big_idx, ra, rb, (offsets + te_a)[big_idx] - ra
+        )
+
+    # 3. Stable sort by tile id alone — positions are depth-monotone.
+    sorted_tile, sorted_gauss = jax.lax.sort(
+        (tiles_buf, gauss_buf), dimension=0, num_keys=1, is_stable=True
     )
 
-    # Lexicographic (tile, depth) sort — the cub radix-sort-on-packed-keys
-    # equivalent (`rasterizer_impl.cu:70,305`). Positive float32 depth bits
-    # compare correctly as int32 (sign bit clear), avoiding an int64 key.
-    depth_bits = jax.lax.bitcast_convert_type(depth_buf, jnp.int32)
-    sorted_tile, _, sorted_gauss = jax.lax.sort(
-        (tiles_buf, depth_bits, gauss_buf), dimension=0, num_keys=2
-    )
-
-    # Tile ranges (`identifyTileRanges`, `rasterizer_impl.cu:116`).
+    # 4. Tile ranges.
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
     tile_end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
@@ -128,5 +162,5 @@ def bin_gaussians(
         tile_start=tile_start,
         tile_end=tile_end,
         num_duplicates=total,
-        overflow=overflow_rect | overflow_cap,
+        overflow=overflow,
     )

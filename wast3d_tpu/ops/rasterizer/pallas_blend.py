@@ -1,0 +1,407 @@
+"""Pallas TPU kernel for the per-tile alpha-blend (forward + backward).
+
+The performance core of the rasterizer — the TPU equivalent of
+`renderCUDA` forward/backward (`/root/reference/submodules/
+cuda_rasterizer/forward.cu:262-390`, `backward.cu:414-640`). Unlike the
+XLA `tiled.py` path (which pads every tile's list to a static max), this
+kernel walks each tile's **exact** sorted range with a dynamic-trip-count
+loop and stops early once every pixel in the tile saturates (T < 1e-4) —
+the same work-skipping the CUDA kernel gets from its
+`__syncthreads_count(done)` vote.
+
+Data layout (chosen for the TPU memory system):
+- Sorted per-duplicate data is packed **transposed** as one [16, K+G]
+  f32 array (rows = mx, my, conic A/B/C, opacity, depth, r, g, b, pad;
+  columns = entries). Entries therefore live on the *lane* axis, so a
+  chunk load is a lane-aligned (16, 128) slab DMA'd HBM->VMEM — Mosaic
+  requires lane-dim slices aligned to 128, which this layout gives for
+  free (G=128 tail columns of padding keep the last chunk in bounds).
+- Pixels live on the *sublane* axis: the 16x16 tile is 256 rows. All
+  per-chunk matrices are (256 pixels, 128 entries); broadcasts like
+  dx = px(256,1) - mx(1,128) need no transposes anywhere.
+- The sequential front-to-back transmittance recurrence is re-expressed
+  as matmuls on the MXU: the within-chunk exclusive log-transmittance is
+  s @ U with U strictly-upper-triangular ones (128,128), and the
+  color/depth accumulation is w(256,128) contracted with data(16,128).
+  The CUDA kernel's serial per-pixel loop becomes 3 matmuls per 128
+  Gaussians.
+- The early-stop rule (stop *before* the entry that would push T below
+  1e-4, `forward.cu:357-362`) is a cumulative-trigger mask, again via a
+  triangular matmul.
+
+Backward walks the same ranges front-to-back, recomputing alpha/T (no
+per-entry residuals stored), using the identity
+    dL/dalpha_i = q_i * T_i - (S_total - prefix_i(q w)) / (1 - alpha_i)
+where q_i = g_color . c_i + g_depth * d_i and S_total collapses the
+suffix sum to quantities known from the forward outputs — the same trick
+the CUDA backward's back-to-front `accum_rec` walk uses
+(`backward.cu:414-...`), vectorized per chunk. Consecutive tiles share a
+128-aligned boundary window of the sorted array (tile ranges are
+contiguous), so per-entry gradients are *accumulated* with a
+read-modify-write into a zero-initialized aliased output — safe because
+the TPU grid executes sequentially. This replaces the CUDA backward's
+atomicAdd (`backward.cu:552`) with a deterministic accumulation; the
+final per-Gaussian reduction is a segment-sum OUTSIDE the kernel (the
+autodiff transpose of the sorted gather).
+
+custom_vjp boundary: `blend(packed, pixf, starts, ends)` — the gather
+from per-Gaussian arrays into sorted order stays in XLA autodiff.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+G = 128  # chunk size (entries per inner step)
+P = 256  # pixels per 16x16 tile
+NROWS = 16  # packed data rows
+
+# Packed row indices.
+R_MX, R_MY, R_A, R_B, R_CC, R_OPA, R_DEPTH, R_R, R_G, R_B2 = range(10)
+
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+T_EPS = 1e-4
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _tri_strict_upper():
+    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    return (r < c).astype(jnp.float32)  # U[k,j]=1 iff k<j
+
+
+def _tri_incl_upper():
+    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    return (r <= c).astype(jnp.float32)
+
+
+def _chunk_quantities(data, px, py, logT, done, start, end, off):
+    """Shared forward recomputation for one chunk.
+
+    data: (16, G); px/py: (P, 1); logT/done: (P, 1).
+    All pixel x entry matrices are (P, G)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1) + off
+    col_valid = (cols >= start) & (cols < end)  # (1,G)
+
+    mx = data[R_MX:R_MX + 1, :]  # (1,G)
+    my = data[R_MY:R_MY + 1, :]
+    A = data[R_A:R_A + 1, :]
+    B = data[R_B:R_B + 1, :]
+    CC = data[R_CC:R_CC + 1, :]
+    opa = data[R_OPA:R_OPA + 1, :]
+
+    dx = mx - px  # (P,G)
+    dy = my - py
+    power = -0.5 * (A * dx * dx + CC * dy * dy) - B * dx * dy
+    alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(jnp.minimum(power, 0.0)))
+    skip = (power > 0.0) | (alpha < ALPHA_MIN) | ~col_valid
+    alpha = jnp.where(skip, 0.0, alpha)
+
+    s = jnp.log1p(-alpha)
+    excl = jax.lax.dot(s, _tri_strict_upper(), precision=_HIGH)  # (P,G)
+    T_prev = jnp.exp(logT + excl)
+    test_T = T_prev * (1.0 - alpha)
+    trig = ((test_T < T_EPS) & (alpha > 0.0)).astype(jnp.float32)
+    cum_trig = jax.lax.dot(trig, _tri_incl_upper(), precision=_HIGH)
+    done_incl = (done > 0.0) | (cum_trig > 0.0)  # (P,G)
+    w = jnp.where(done_incl, 0.0, alpha * T_prev)
+    return alpha, T_prev, done_incl, w, trig
+
+
+def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
+                data_vmem, sem):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    end = ends_ref[t]
+    px = pixf_ref[0, :, 0:1]  # (P,1)
+    py = pixf_ref[0, :, 1:2]
+    astart = (start // G) * G
+    nchunks = pl.cdiv(jnp.maximum(end - astart, 0), G)
+
+    def cond(state):
+        c, logT, done, _ = state
+        return (c < nchunks) & (jnp.min(done) < 0.5)
+
+    def body(state):
+        c, logT, done, acc = state
+        off = astart + c * G
+        copy = pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(off, G)], data_vmem, sem
+        )
+        copy.start()
+        copy.wait()
+        data = data_vmem[:, :]  # (16,G)
+        alpha, T_prev, done_incl, w, trig = _chunk_quantities(
+            data, px, py, logT, done, start, end, off
+        )
+        # acc[p, r] += sum_g w[p,g] * data[r,g]
+        acc = acc + jax.lax.dot_general(
+            w, data, (((1,), (1,)), ((), ())),
+            precision=_HIGH, preferred_element_type=jnp.float32,
+        )  # (P,16)
+        contributed = jnp.where(done_incl, 0.0, alpha)
+        logT = logT + jnp.sum(jnp.log1p(-contributed), axis=1, keepdims=True)
+        done = jnp.maximum(done, jnp.max(trig, axis=1, keepdims=True))
+        return c + 1, logT, done, acc
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((P, 1), jnp.float32),
+        jnp.zeros((P, 1), jnp.float32),
+        jnp.zeros((P, NROWS), jnp.float32),
+    )
+    _, logT, _, acc = jax.lax.while_loop(cond, body, init)
+    acc_ref[0] = acc
+    tfin_ref[0] = jnp.exp(logT)
+
+
+def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
+                dzero_hbm, dout_hbm, data_vmem, dout_vmem, state_vmem,
+                sem, isem, osem):
+    """Backward walk with read-modify-write accumulation (see module doc).
+
+    state_vmem cols: 0 = logT, 1 = done, 2 = prefix (each (P, 1))."""
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    end = ends_ref[t]
+    px = pixf_ref[0, :, 0:1]  # (P,1)
+    py = pixf_ref[0, :, 1:2]
+    gcr = grads_ref[0, :, 0:1]
+    gcg = grads_ref[0, :, 1:2]
+    gcb = grads_ref[0, :, 2:3]
+    gd = grads_ref[0, :, 3:4]
+    s_total = grads_ref[0, :, 5:6]
+    astart = (start // G) * G
+    nchunks = pl.cdiv(jnp.maximum(end - astart, 0), G)
+
+    state_vmem[:, :] = jnp.zeros((P, 4), jnp.float32)
+
+    def body(c, _):
+        off = astart + c * G
+        done = state_vmem[:, 1:2]
+        active = jnp.min(done) < 0.5
+
+        @pl.when(active)
+        def _():
+            copy = pltpu.make_async_copy(
+                data_hbm.at[:, pl.ds(off, G)], data_vmem, sem
+            )
+            copy.start()
+            copy.wait()
+            data = data_vmem[:, :]
+            logT = state_vmem[:, 0:1]
+            prefix = state_vmem[:, 2:3]
+            alpha, T_prev, done_incl, w, trig = _chunk_quantities(
+                data, px, py, logT, done, start, end, off
+            )
+
+            # q[p,g] = gc . rgb_g + gd * depth_g
+            q = (
+                data[R_R:R_R + 1, :] * gcr
+                + data[R_G:R_G + 1, :] * gcg
+                + data[R_B2:R_B2 + 1, :] * gcb
+                + data[R_DEPTH:R_DEPTH + 1, :] * gd
+            )  # (P,G)
+            qw = q * w
+            prefix_incl = prefix + jax.lax.dot(
+                qw, _tri_incl_upper(), precision=_HIGH
+            )
+            live = w > 0.0
+            one_m = 1.0 - alpha
+            dalpha = jnp.where(
+                live, q * T_prev - (s_total - prefix_incl) / one_m, 0.0
+            )
+
+            opa = data[R_OPA:R_OPA + 1, :]
+            # alpha = min(0.99, opa * exp(power)); the clamp zeroes the grad.
+            unclamped = (alpha < ALPHA_MAX) & live
+            exp_pow = jnp.where(opa > 0.0, alpha / opa, 0.0)
+            dopa = jnp.sum(jnp.where(unclamped, dalpha * exp_pow, 0.0),
+                           axis=0, keepdims=True)  # (1,G)
+            dpow = jnp.where(unclamped, dalpha * alpha, 0.0)
+
+            A = data[R_A:R_A + 1, :]
+            B = data[R_B:R_B + 1, :]
+            CC = data[R_CC:R_CC + 1, :]
+            mx = data[R_MX:R_MX + 1, :]
+            my = data[R_MY:R_MY + 1, :]
+            dx = mx - px
+            dy = my - py
+            dmx = jnp.sum(dpow * (-A * dx - B * dy), axis=0, keepdims=True)
+            dmy = jnp.sum(dpow * (-CC * dy - B * dx), axis=0, keepdims=True)
+            dA = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
+            dB = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
+            dC = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
+            ddepth = jnp.sum(w * gd, axis=0, keepdims=True)
+            dr = jnp.sum(w * gcr, axis=0, keepdims=True)
+            dg = jnp.sum(w * gcg, axis=0, keepdims=True)
+            db = jnp.sum(w * gcb, axis=0, keepdims=True)
+
+            zero = jnp.zeros((1, G), jnp.float32)
+            dgrad = jnp.concatenate(
+                [dmx, dmy, dA, dB, dC, dopa, ddepth, dr, dg, db,
+                 zero, zero, zero, zero, zero, zero], axis=0
+            )  # (16,G)
+
+            # Read-modify-write: accumulate into the shared boundary window.
+            icopy = pltpu.make_async_copy(
+                dout_hbm.at[:, pl.ds(off, G)], dout_vmem, isem
+            )
+            icopy.start()
+            icopy.wait()
+            dout_vmem[:, :] = dout_vmem[:, :] + dgrad
+            ocopy = pltpu.make_async_copy(
+                dout_vmem, dout_hbm.at[:, pl.ds(off, G)], osem
+            )
+            ocopy.start()
+            ocopy.wait()
+
+            contributed = jnp.where(done_incl, 0.0, alpha)
+            state_vmem[:, 0:1] = logT + jnp.sum(
+                jnp.log1p(-contributed), axis=1, keepdims=True
+            )
+            state_vmem[:, 1:2] = jnp.maximum(
+                done, jnp.max(trig, axis=1, keepdims=True)
+            )
+            state_vmem[:, 2:3] = prefix + jnp.sum(qw, axis=1, keepdims=True)
+
+        return _
+
+    jax.lax.fori_loop(0, nchunks, body, None)
+
+
+def _blend_fwd_impl(packed, pixf, starts, ends, *, num_tiles, interpret):
+    acc, tfin = pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # packed (manual DMA)
+                pl.BlockSpec((1, P, 2), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, P, NROWS), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, 1), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((NROWS, G), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, P, NROWS), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, P, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(starts, ends, packed, pixf)
+    return acc, tfin[:, :, 0]
+
+
+def _blend_bwd_impl(packed, pixf, starts, ends, grads, *, num_tiles, interpret):
+    K = packed.shape[1]
+    dzeros = jnp.zeros((NROWS, K), jnp.float32)
+    dpacked = pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # packed
+                pl.BlockSpec((1, P, 2), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # dzeros (aliased out)
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # dpacked (manual DMA)
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((NROWS, G), jnp.float32),
+                pltpu.VMEM((NROWS, G), jnp.float32),
+                pltpu.VMEM((P, 4), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((NROWS, K), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={5: 0},  # dzeros -> dpacked (incl. scalar args)
+    )(starts, ends, packed, pixf, grads, dzeros)[0]
+    return dpacked
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def blend(packed, pixf, starts, ends, num_tiles, interpret=False):
+    """Per-tile sorted blend.
+
+    Args:
+      packed: [16, K + G] packed sorted duplicate data (G cols tail pad).
+      pixf: [T, P, 2] jittered pixel coords per tile.
+      starts/ends: [T] int32 sorted-range bounds.
+    Returns:
+      acc [T, P, 16] weighted sums (row layout: depth at 6, rgb at 7..9),
+      final_T [T, P].
+    """
+    return _blend_fwd_impl(packed, pixf, starts, ends,
+                           num_tiles=num_tiles, interpret=interpret)
+
+
+def _blend_vjp_fwd(packed, pixf, starts, ends, num_tiles, interpret):
+    out = _blend_fwd_impl(packed, pixf, starts, ends,
+                          num_tiles=num_tiles, interpret=interpret)
+    return out, (packed, pixf, starts, ends, out[0], out[1])
+
+
+def _blend_vjp_bwd(num_tiles, interpret, residuals, cotangents):
+    packed, pixf, starts, ends, acc, tfin = residuals
+    g_acc, g_tfin = cotangents
+    gc = g_acc[:, :, R_R:R_B2 + 1]  # [T,P,3]
+    gd = g_acc[:, :, R_DEPTH:R_DEPTH + 1]  # [T,P,1]
+    gT = g_tfin[:, :, None]
+    c_pre = acc[:, :, R_R:R_B2 + 1]
+    d_pre = acc[:, :, R_DEPTH:R_DEPTH + 1]
+    s_total = (
+        jnp.sum(gc * c_pre, axis=2, keepdims=True)
+        + gd * d_pre
+        + tfin[:, :, None] * gT
+    )  # [T,P,1]
+    pad = jnp.zeros_like(gd)
+    grads = jnp.concatenate([gc, gd, gT, s_total, pad, pad], axis=2)  # [T,P,8]
+    # NOTE: cotangents on acc rows other than depth/rgb are ignored — those
+    # are byproducts callers must not differentiate through.
+    dpacked = _blend_bwd_impl(packed, pixf, starts, ends, grads,
+                              num_tiles=num_tiles, interpret=interpret)
+    return dpacked, None, None, None
+
+
+blend.defvjp(_blend_vjp_fwd, _blend_vjp_bwd)
+
+
+def pack_sorted(prep_sorted: dict, K_pad: int) -> jnp.ndarray:
+    """Pack gathered-sorted per-duplicate data into the [16, K_pad] layout."""
+    K = prep_sorted["mx"].shape[0]
+    rows = [
+        prep_sorted["mx"], prep_sorted["my"],
+        prep_sorted["conic"][:, 0], prep_sorted["conic"][:, 1],
+        prep_sorted["conic"][:, 2], prep_sorted["opacity"],
+        prep_sorted["depth"],
+        prep_sorted["color"][:, 0], prep_sorted["color"][:, 1],
+        prep_sorted["color"][:, 2],
+    ]
+    packed = jnp.stack(rows, axis=0)  # [10,K]
+    return jnp.pad(packed, ((0, NROWS - packed.shape[0]), (0, K_pad - K)))

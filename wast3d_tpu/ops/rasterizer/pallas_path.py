@@ -1,0 +1,100 @@
+"""Pallas render path: binning + gather + packed blend kernel + untile.
+
+Production single-chip render path. Same inputs/outputs as
+`tiled.render_tiled` but the per-tile blend runs in the Pallas kernel
+(`pallas_blend.py`) with exact ragged ranges and early termination instead
+of the XLA path's uniform max_per_tile padding.
+
+Differentiability: preprocess -> gather -> pack stays in XLA autodiff
+(the gather's transpose is the deterministic per-Gaussian scatter-add);
+the blend has a custom VJP backed by the backward kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from wast3d_tpu.ops.rasterizer import pallas_blend as pb
+from wast3d_tpu.ops.rasterizer.binning import TILE, bin_gaussians, tile_grid
+from wast3d_tpu.ops.rasterizer.preprocess import Preprocessed
+from wast3d_tpu.ops.rasterizer.tiled import RenderOutput, _tile_pixel_coords
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "dup_capacity",
+                     "max_tiles_per_gaussian", "interpret"),
+)
+def render_pallas(
+    prep: Preprocessed,
+    width: int,
+    height: int,
+    bg_color: jnp.ndarray,
+    sampling_offsets: Optional[jnp.ndarray] = None,
+    dup_capacity: int = 1 << 18,
+    max_tiles_per_gaussian: int = 64,
+    interpret: bool = False,
+) -> RenderOutput:
+    grid_x, grid_y = tile_grid(width, height)
+    num_tiles = grid_x * grid_y
+    P = TILE * TILE
+
+    binning = bin_gaussians(
+        prep.means2d, prep.depths, prep.radii, width, height,
+        dup_capacity=dup_capacity, max_tiles_per_gaussian=max_tiles_per_gaussian,
+    )
+    # Pack per-Gaussian rows once (elementwise), then ONE gather into sorted
+    # order + transpose — instead of six separate gathers.
+    packed_g = jnp.stack(
+        [
+            prep.means2d[:, 0], prep.means2d[:, 1],
+            prep.conics[:, 0], prep.conics[:, 1], prep.conics[:, 2],
+            prep.opacities, prep.depths,
+            prep.colors[:, 0], prep.colors[:, 1], prep.colors[:, 2],
+        ],
+        axis=1,
+    )  # [N,10]
+    sorted_rows = packed_g[binning.gauss_idx]  # [K,10]
+    packed = jnp.pad(
+        sorted_rows.T,
+        ((0, pb.NROWS - sorted_rows.shape[1]), (0, dup_capacity + pb.G - sorted_rows.shape[0])),
+    )  # [16, K+G]
+    # Invalid tail entries (sorted past the last real tile) carry sentinel
+    # depth/garbage; they are never inside any [start, end) so the kernel
+    # ignores them, but ensure they cannot poison via NaN — and this mask's
+    # VJP also zeroes any gradient rows the kernel leaves for the tail.
+    valid_dup = jnp.arange(dup_capacity + pb.G) < binning.tile_end[-1]
+    packed = jnp.where(valid_dup[None, :], packed, 0.0)
+
+    px, py = _tile_pixel_coords(grid_x, grid_y)  # [T,P]
+    if sampling_offsets is not None:
+        pad_h, pad_w = grid_y * TILE, grid_x * TILE
+        off = jnp.zeros((pad_h, pad_w, 2), jnp.float32)
+        off = off.at[:height, :width].set(sampling_offsets)
+        off = off.reshape(grid_y, TILE, grid_x, TILE, 2).transpose(0, 2, 1, 3, 4)
+        off = off.reshape(num_tiles, P, 2)
+        px = px + off[..., 0]
+        py = py + off[..., 1]
+    pixf = jnp.stack([px, py], axis=-1)  # [T,P,2]
+
+    acc, tfin = pb.blend(
+        packed, pixf, binning.tile_start, binning.tile_end, num_tiles, interpret
+    )
+    color_t = acc[:, :, pb.R_R:pb.R_B2 + 1]  # [T,P,3]
+    depth_t = acc[:, :, pb.R_DEPTH]  # [T,P]
+    color_t = color_t + tfin[..., None] * bg_color[None, None, :]
+
+    def untile(x, ch):
+        img = x.reshape(grid_y, grid_x, TILE, TILE, ch).transpose(0, 2, 1, 3, 4)
+        return img.reshape(grid_y * TILE, grid_x * TILE, ch)[:height, :width]
+
+    return RenderOutput(
+        color=untile(color_t, 3),
+        depth=untile(depth_t[..., None], 1)[..., 0],
+        final_T=untile(tfin[..., None], 1)[..., 0],
+        overflow=binning.overflow,
+    )

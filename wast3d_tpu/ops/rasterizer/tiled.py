@@ -157,8 +157,12 @@ def render_tiled(
         jnp.zeros((num_tiles, P, 3), jnp.float32),
         jnp.zeros((num_tiles, P), jnp.float32),
     )
+    # Remat the chunk body: without it, reverse-mode saves the (T, P, chunk)
+    # alpha/weight intermediates for every chunk step (GBs at scale); with
+    # it, the backward recomputes them per chunk — same trade the CUDA
+    # backward makes by re-walking the sorted list (backward.cu:414).
     (T_run, done, color_acc, depth_acc), _ = jax.lax.scan(
-        body, init, jnp.arange(n_chunks)
+        jax.checkpoint(body), init, jnp.arange(n_chunks)
     )
 
     color_acc = color_acc + T_run[..., None] * bg_color[None, None, :]
