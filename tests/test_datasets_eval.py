@@ -1,0 +1,281 @@
+"""Tests: dataset loaders (synthetic COLMAP + Blender fixtures), checkpoint
+round-trip, eval pipeline, VGG/LPIPS/depth ops, network GUI protocol."""
+
+import json
+import os
+import socket
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wast3d_tpu.scene import colmap as cm
+from wast3d_tpu.scene import datasets as DS
+
+
+def _make_colmap_fixture(root):
+    sparse = os.path.join(root, "sparse", "0")
+    os.makedirs(sparse)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir)
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    cams = {1: cm.ColmapCamera(1, "PINHOLE", 64, 48, np.array([60.0, 60.0, 32.0, 24.0]))}
+    imgs = {}
+    for i in range(4):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        imgs[i + 1] = cm.ColmapImage(i + 1, q, rng.normal(size=3), 1, f"im{i}.png")
+        Image.fromarray(
+            (rng.uniform(size=(48, 64, 3)) * 255).astype(np.uint8)
+        ).save(os.path.join(img_dir, f"im{i}.png"))
+    cm.write_cameras_binary(cams, os.path.join(sparse, "cameras.bin"))
+    cm.write_images_binary(imgs, os.path.join(sparse, "images.bin"))
+    xyz = rng.normal(size=(50, 3))
+    rgb = rng.uniform(0, 255, (50, 3))
+    cm.write_points3d_binary(xyz, rgb, os.path.join(sparse, "points3D.bin"))
+    return xyz
+
+
+def _make_blender_fixture(root):
+    os.makedirs(root, exist_ok=True)
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    frames = []
+    for i in range(3):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [np.sin(i), 0, -4 + 0.1 * i]
+        frames.append({"file_path": f"./r_{i}", "transform_matrix": c2w.tolist()})
+        rgba = (rng.uniform(size=(32, 32, 4)) * 255).astype(np.uint8)
+        Image.fromarray(rgba, "RGBA").save(os.path.join(root, f"r_{i}.png"))
+    with open(os.path.join(root, "transforms_train.json"), "w") as f:
+        json.dump({"camera_angle_x": 0.8, "frames": frames}, f)
+
+
+class TestColmap:
+    def test_binary_roundtrip(self, tmp_path):
+        root = str(tmp_path / "scene")
+        xyz = _make_colmap_fixture(root)
+        cams = cm.read_cameras_binary(os.path.join(root, "sparse/0/cameras.bin"))
+        assert cams[1].model == "PINHOLE" and cams[1].width == 64
+        imgs = cm.read_images_binary(os.path.join(root, "sparse/0/images.bin"))
+        assert len(imgs) == 4 and imgs[1].name == "im0.png"
+        pts, rgb, err = cm.read_points3d_binary(
+            os.path.join(root, "sparse/0/points3D.bin")
+        )
+        np.testing.assert_allclose(pts, xyz, atol=1e-12)
+
+    def test_scene_load_and_split(self, tmp_path):
+        root = str(tmp_path / "scene")
+        _make_colmap_fixture(root)
+        info = DS.load_scene_info(root, eval_split=True)
+        # llffhold=8 -> first of 4 goes to test
+        assert len(info.test_cameras) == 1 and len(info.train_cameras) == 3
+        assert info.nerf_normalization["radius"] > 0
+        assert info.point_cloud.points.shape == (50, 3)
+        cams = DS.build_cameras(info.train_cameras)
+        cam, gt = cams[0]
+        assert cam.width == 64 and gt.shape == (48, 64, 3)
+
+    def test_qvec_matches_core(self):
+        rng = np.random.default_rng(2)
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        from wast3d_tpu.core.transforms import quat_to_rotmat
+
+        R1 = cm.qvec2rotmat(q)
+        R2 = np.asarray(quat_to_rotmat(jnp.asarray(q[None], jnp.float32)))[0]
+        np.testing.assert_allclose(R1, R2, atol=1e-6)
+
+
+class TestBlender:
+    def test_load(self, tmp_path):
+        root = str(tmp_path / "lego")
+        _make_blender_fixture(root)
+        info = DS.load_scene_info(root, white_background=True)
+        assert len(info.train_cameras) == 3
+        # random init cloud created + persisted
+        assert os.path.exists(os.path.join(root, "points3d.ply"))
+        assert info.point_cloud.points.shape[0] == 100_000
+        assert np.all(info.point_cloud.points >= -1.3)
+        assert np.all(info.point_cloud.points <= 1.3)
+        cams = DS.build_cameras(info.train_cameras)
+        assert cams[0][1].shape == (32, 32, 3)
+
+    def test_resolution_policy(self):
+        assert DS._resolve_resolution(3200, 2400, -1) == (1600, 1200)
+        assert DS._resolve_resolution(800, 600, -1) == (800, 600)
+        assert DS._resolve_resolution(800, 600, 2) == (400, 300)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from tests.test_train import _mini_scene
+        from wast3d_tpu.config import OptimizationConfig
+        from wast3d_tpu.train import checkpoint as CK
+        from wast3d_tpu.train.reconstruct import init_train_state
+
+        scene = _mini_scene(n=20, cap=64)
+        state = init_train_state(scene, OptimizationConfig(), 1.0)
+        state = state._replace(step=jnp.int32(123))
+        path = str(tmp_path / "ckpt")
+        CK.save_checkpoint(path, state, spatial_lr_scale=2.5)
+        state2, slr = CK.load_checkpoint(path)
+        assert slr == 2.5
+        assert int(state2.step) == 123
+        np.testing.assert_array_equal(np.asarray(state2.scene.xyz),
+                                      np.asarray(state.scene.xyz))
+        np.testing.assert_array_equal(np.asarray(state2.opt_state.mu["xyz"]),
+                                      np.asarray(state.opt_state.mu["xyz"]))
+        assert state2.scene.max_sh_degree == 3
+
+    def test_ply_save_and_find(self, tmp_path):
+        from tests.test_train import _mini_scene
+        from wast3d_tpu.train import checkpoint as CK
+
+        scene = _mini_scene(n=10)
+        CK.save_point_cloud(str(tmp_path), 7000, scene)
+        CK.save_point_cloud(str(tmp_path), 30000, scene)
+        assert CK.find_max_iteration(str(tmp_path)) == 30000
+
+
+class TestEvalPipeline:
+    def test_render_set_and_metrics(self, tmp_path):
+        from tests.test_rasterizer import _cam, _random_scene
+        from wast3d_tpu.eval.metrics import evaluate
+        from wast3d_tpu.eval.render_sets import render_set
+        from wast3d_tpu.ops.rasterizer.api import RasterizeSettings
+
+        scene = _random_scene(n=50, seed=0)
+        settings = RasterizeSettings(renderer="tiled", dup_capacity=1 << 12,
+                                     max_per_tile=128, chunk=16)
+        cams = []
+        for i in range(2):
+            cam = _cam(w=32, h=32, eye=(0.3 * i, 0, -5))
+            from wast3d_tpu.ops.rasterizer import api
+
+            gt = api.render(cam, scene, jnp.zeros(3), settings=settings)["render"]
+            cams.append((cam, gt))
+        model_path = str(tmp_path / "model")
+        render_set(model_path, "test", 100, cams, scene, jnp.zeros(3), settings)
+        results = evaluate([model_path])
+        m = results[model_path]["ours_100"]
+        # Rendered == GT (same scene) modulo 8-bit quantization.
+        assert m["PSNR"] > 45
+        assert m["SSIM"] > 0.98
+        assert os.path.exists(os.path.join(model_path, "results.json"))
+
+
+class TestVGGDepth:
+    def test_vgg_shapes(self):
+        from wast3d_tpu.ops import vgg
+
+        params = vgg.load_weights(None)
+        img = jnp.asarray(np.random.default_rng(0).uniform(size=(64, 64, 3)),
+                          jnp.float32)
+        feats = vgg.get_features(params, img)
+        assert len(feats) == 5
+        assert feats[0].shape == (1, 112, 112, 64)  # conv1_1
+        assert feats[3].shape == (1, 14, 14, 512)  # conv4_1 (after 3 pools)
+        assert feats[4].shape == (1, 7, 7, 512)  # conv5_1 (after 4 pools)
+
+    def test_losses_differentiable(self):
+        from wast3d_tpu.ops import vgg
+
+        params = vgg.load_weights(None)
+        rng = np.random.default_rng(1)
+        a = jnp.asarray(rng.uniform(size=(32, 32, 3)), jnp.float32)
+        b = jnp.asarray(rng.uniform(size=(32, 32, 3)), jnp.float32)
+
+        def loss(x):
+            fx = vgg.get_features(params, x)
+            fb = vgg.get_features(params, b)
+            return vgg.content_loss(fb, fx, [2, 3]) + 1e-9 * vgg.style_loss(
+                fb, fx, [0, 1]
+            )
+
+        g = jax.grad(loss)(a)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+        assert float(loss(b)) < 1e-6  # identical images -> ~0
+
+    def test_lpips_basic(self):
+        from wast3d_tpu.ops.lpips import LPIPS
+
+        model = LPIPS()
+        assert not model.is_calibrated()
+        rng = np.random.default_rng(2)
+        a = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+        b = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+        assert float(model(a, a)) < 1e-10
+        assert float(model(a, b)) > float(model(a, a))
+
+    def test_depth_to_normals_plane(self):
+        from wast3d_tpu.ops.depth import depth_to_normals
+
+        # Fronto-parallel plane: normals along -z (camera looks +z; surface
+        # faces the camera).
+        depth = jnp.full((16, 16), 2.0)
+        n = np.asarray(depth_to_normals(depth, fx=20.0, fy=20.0))
+        inner = n[4:-4, 4:-4]
+        assert np.allclose(np.abs(inner[..., 2]), 1.0, atol=1e-5)
+
+    def test_depth_grad_flows(self):
+        from wast3d_tpu.ops.depth import depth_to_normals
+
+        def f(d):
+            return jnp.sum(depth_to_normals(d, 20.0, 20.0)[..., 0])
+
+        d = jnp.asarray(
+            np.random.default_rng(3).uniform(1, 3, (8, 8)).astype(np.float32)
+        )
+        g = jax.grad(f)(d)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestNetworkGUI:
+    def test_protocol_roundtrip(self):
+        from wast3d_tpu.viewer.network_gui import NetworkGUI
+
+        gui = NetworkGUI("127.0.0.1", 0)
+        port = gui._listener.getsockname()[1]
+        try:
+            client = socket.create_connection(("127.0.0.1", port), timeout=5)
+            msg = {
+                "resolution_x": 8, "resolution_y": 4, "train": True,
+                "fov_y": 0.8, "fov_x": 0.8, "z_near": 0.01, "z_far": 100.0,
+                "shs_python": False, "rot_scale_python": False,
+                "keep_alive": True, "scaling_modifier": 1.0,
+                "view_matrix": list(np.eye(4).flatten().astype(float)),
+                "view_projection_matrix": list(np.eye(4).flatten().astype(float)),
+            }
+            payload = json.dumps(msg).encode()
+            client.sendall(struct.pack("<I", len(payload)) + payload)
+            # Wait for the server to parse, then answer the request.
+            import time
+
+            req = None
+            for _ in range(100):
+                req = gui.pending()
+                if req:
+                    break
+                time.sleep(0.02)
+            assert req is not None and req.width == 8 and req.height == 4
+            # Sign-flip convention applied:
+            assert req.view_transform[1, 1] == -1.0
+            gui.submit_frame(np.zeros((4, 8, 3), np.float32))
+            frame = b""
+            expected = 4 * 8 * 3
+            client.settimeout(5)
+            while len(frame) < expected:
+                frame += client.recv(expected - len(frame))
+            assert len(frame) == expected
+            vlen = struct.unpack("<I", client.recv(4))[0]
+            assert vlen == 0  # empty verify string
+            client.close()
+        finally:
+            gui.stop()

@@ -1,0 +1,59 @@
+"""End-to-end driver test: train_scene on a synthetic Blender fixture."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_datasets_eval import _make_blender_fixture
+
+
+def test_train_scene_blender(tmp_path):
+    from wast3d_tpu.config import OptimizationConfig
+    from wast3d_tpu.ops.rasterizer.api import RasterizeSettings
+    from wast3d_tpu.scene.ply import load_ply
+    from wast3d_tpu.train.driver import train_scene
+
+    src = str(tmp_path / "scene")
+    _make_blender_fixture(src)
+    # Shrink the default random cloud for CPU speed.
+    from wast3d_tpu.scene.datasets import store_ply_points
+
+    rng = np.random.default_rng(0)
+    store_ply_points(os.path.join(src, "points3d.ply"),
+                     rng.uniform(-1, 1, (200, 3)),
+                     rng.uniform(0, 255, (200, 3)))
+
+    model = str(tmp_path / "model")
+    trainer = train_scene(
+        source_path=src,
+        model_path=model,
+        iterations=30,
+        save_iterations=[20, 30],
+        checkpoint_iterations=[30],
+        opt_cfg=OptimizationConfig(iterations=30, densify_from_iter=10**9),
+        settings=RasterizeSettings(renderer="tiled", dup_capacity=1 << 12,
+                                   max_per_tile=128, chunk=16),
+        quiet=True,
+    )
+    assert int(trainer.state.step) == 30
+    # PLY artifacts at the reference layout.
+    ply = os.path.join(model, "point_cloud", "iteration_30", "point_cloud.ply")
+    assert os.path.exists(ply)
+    scene = load_ply(ply)
+    assert int(scene.num_active) == 200
+    # cfg_args readable.
+    from wast3d_tpu.config import load_cfg_args
+
+    cfg = load_cfg_args(model)
+    assert cfg.sh_degree == 3
+    # log written with psnr entries.
+    log = [json.loads(l) for l in open(os.path.join(model, "log.jsonl"))]
+    assert any("psnr_train" in e for e in log)
+    # checkpoint restorable and resumes.
+    from wast3d_tpu.train.checkpoint import load_checkpoint
+
+    state2, slr = load_checkpoint(os.path.join(model, "chkpnt30"))
+    assert int(state2.step) == 30
+    assert slr > 0

@@ -63,8 +63,10 @@ class TestImageLosses:
 
     def test_tv(self):
         img = jnp.zeros((4, 4)).at[2:, :].set(1.0)
-        # dy has one row of ones (of 3 rows) -> mean 1/3; dx = 0.
-        np.testing.assert_allclose(float(IL.tv_loss(img)), 1.0 / 3.0, rtol=1e-6)
+        # dy has one row of ones (of 3 rows) -> mean|dy| 1/3; dx = 0.
+        # Reference's effective tv_loss = 0.5*(mean|dy| + mean|dx|) = 1/6.
+        np.testing.assert_allclose(float(IL.tv_loss(img)), 1.0 / 6.0, rtol=1e-6)
+        np.testing.assert_allclose(float(IL.tv_loss_sq(img)), 1.0 / 3.0, rtol=1e-6)
 
 
 class TestAdamParity:

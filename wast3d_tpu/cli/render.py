@@ -1,0 +1,44 @@
+"""CLI: batch-render train/test sets from a trained model.
+
+`python -m wast3d_tpu.cli.render -m <model_path> [--iteration N]`
+Equivalent of `/root/reference/render.py:44-65` (reads the saved
+`cfg_args` to recover source path like `get_combined_args`)."""
+
+from __future__ import annotations
+
+import argparse
+
+from wast3d_tpu.config import load_cfg_args
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="wast3d_tpu render")
+    parser.add_argument("--model_path", "-m", type=str, required=True)
+    parser.add_argument("--source_path", "-s", type=str, default=None)
+    parser.add_argument("--iteration", type=int, default=-1)
+    parser.add_argument("--skip_train", action="store_true")
+    parser.add_argument("--skip_test", action="store_true")
+    parser.add_argument("--resolution", "-r", type=int, default=-1)
+    parser.add_argument("--white_background", "-w", action="store_true")
+    args = parser.parse_args()
+
+    source = args.source_path
+    white_bg = args.white_background
+    cfg = load_cfg_args(args.model_path)
+    if cfg is not None:
+        source = source or getattr(cfg, "source_path", None)
+        white_bg = white_bg or getattr(cfg, "white_background", False)
+    if not source:
+        parser.error("--source_path required (no cfg_args found)")
+
+    from wast3d_tpu.eval.render_sets import render_sets
+
+    render_sets(
+        args.model_path, source, iteration=args.iteration,
+        skip_train=args.skip_train, skip_test=args.skip_test,
+        white_background=white_bg, resolution=args.resolution,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -77,9 +77,18 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
 
 
 def tv_loss(img: jnp.ndarray) -> jnp.ndarray:
-    """Isotropic-squared total variation on [H, W, C] (or [H, W]);
-    reference `tv_loss` (`loss_utils.py:213-215`) computes
-    mean dy^2 + mean dx^2."""
+    """Total variation, absolute-value form: the reference defines tv_loss
+    twice and the SECOND definition wins (`loss_utils.py:208-215`):
+    0.5 * (mean|dy| + mean|dx|). Applies over the last two spatial dims of
+    [H, W] or [H, W, C]-style arrays (we treat the first two as spatial)."""
+    dy = img[1:, :] - img[:-1, :]
+    dx = img[:, 1:] - img[:, :-1]
+    return 0.5 * (jnp.mean(jnp.abs(dy)) + jnp.mean(jnp.abs(dx)))
+
+
+def tv_loss_sq(img: jnp.ndarray) -> jnp.ndarray:
+    """Squared-difference TV (the reference's shadowed first definition,
+    `loss_utils.py:213-215` pre-override): mean dy^2 + mean dx^2."""
     dy = img[1:, :] - img[:-1, :]
     dx = img[:, 1:] - img[:, :-1]
     return jnp.mean(dy**2) + jnp.mean(dx**2)

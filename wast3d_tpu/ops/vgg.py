@@ -1,0 +1,159 @@
+"""VGG19 feature extractor + neural-style losses, flax-free pure jnp.
+
+Parity with `/root/reference/utils/loss_utils.py:66-205`:
+- VGG19 `features[:29]` (conv1_1 .. conv5_1), capturing the **pre-ReLU
+  conv outputs** at torchvision indices [0, 5, 10, 19, 28] — i.e.
+  conv1_1, conv2_1, conv3_1, conv4_1, conv5_1 (`VGG.req_features`).
+- `get_features` resizes the input to 112x112 with NEAREST interpolation
+  (the reference's `F.interpolate` default) and does NOT apply ImageNet
+  normalization (its `preprocessing` flag is unused) — both quirks
+  reproduced faithfully (`loss_utils.py:98-109`).
+- content loss: sum over layers of MSE (`:113-131`).
+- style loss: sum over layers of MSE between (unnormalized) Gram matrices
+  (`:178-205`).
+
+Pretrained weights: the environment has no torchvision and no network
+egress, so weights load from a user-supplied file — either a torch
+`vgg19` state_dict (.pth, loaded via torch) or an .npz with the same
+parameter names. `load_weights(None)` (or WAST3D_VGG19_WEIGHTS unset)
+falls back to deterministic He-init random weights: losses remain
+well-defined feature-space objectives (random VGG features are an
+established perceptual-loss fallback), and the interface is unchanged
+once real weights are supplied.
+
+The conv stack is plain lax convolutions — XLA maps them to the MXU.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torchvision vgg19.features[:29] structure: (layer_idx, type, in_ch, out_ch)
+_LAYERS = [
+    (0, "conv", 3, 64), (1, "relu"), (2, "conv", 64, 64), (3, "relu"),
+    (4, "pool"),
+    (5, "conv", 64, 128), (6, "relu"), (7, "conv", 128, 128), (8, "relu"),
+    (9, "pool"),
+    (10, "conv", 128, 256), (11, "relu"), (12, "conv", 256, 256), (13, "relu"),
+    (14, "conv", 256, 256), (15, "relu"), (16, "conv", 256, 256), (17, "relu"),
+    (18, "pool"),
+    (19, "conv", 256, 512), (20, "relu"), (21, "conv", 512, 512), (22, "relu"),
+    (23, "conv", 512, 512), (24, "relu"), (25, "conv", 512, 512), (26, "relu"),
+    (27, "pool"),
+    (28, "conv", 512, 512),
+]
+
+CAPTURE_LAYERS = (0, 5, 10, 19, 28)  # reference req_features
+
+
+def init_random_params(seed: int = 0) -> dict:
+    """Deterministic He-init stand-in weights (no pretrained available)."""
+    rng = np.random.default_rng(seed)
+    params = {}
+    for spec in _LAYERS:
+        if spec[1] != "conv":
+            continue
+        idx, _, cin, cout = spec
+        fan_in = cin * 9
+        w = rng.normal(0, np.sqrt(2.0 / fan_in), (cout, cin, 3, 3))
+        params[f"features.{idx}.weight"] = w.astype(np.float32)
+        params[f"features.{idx}.bias"] = np.zeros(cout, np.float32)
+    return params
+
+
+def load_weights(path: Optional[str] = None, seed: int = 0) -> dict:
+    """Load a torchvision-format vgg19 state dict (.pth via torch, or .npz),
+    else random fallback. Env override: WAST3D_VGG19_WEIGHTS."""
+    path = path or os.environ.get("WAST3D_VGG19_WEIGHTS")
+    if not path:
+        return init_random_params(seed)
+    if path.endswith(".npz"):
+        data = dict(np.load(path))
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        data = {k: v.numpy() for k, v in sd.items()}
+    params = {}
+    for spec in _LAYERS:
+        if spec[1] != "conv":
+            continue
+        idx = spec[0]
+        params[f"features.{idx}.weight"] = np.asarray(
+            data[f"features.{idx}.weight"], np.float32
+        )
+        params[f"features.{idx}.bias"] = np.asarray(
+            data[f"features.{idx}.bias"], np.float32
+        )
+    return params
+
+
+def vgg_features(params: dict, image: jnp.ndarray,
+                 capture: Sequence[int] = CAPTURE_LAYERS) -> List[jnp.ndarray]:
+    """Run the conv stack on [H, W, 3] (or [B, H, W, 3]) in [0, 1].
+
+    Returns captured activations as [B, H', W', C] arrays (pre-ReLU conv
+    outputs at `capture` indices, like the reference)."""
+    x = image[None] if image.ndim == 3 else image
+    feats = []
+    for spec in _LAYERS:
+        kind = spec[1]
+        if kind == "conv":
+            idx = spec[0]
+            w = jnp.asarray(params[f"features.{idx}.weight"])  # [O,I,3,3]
+            b = jnp.asarray(params[f"features.{idx}.bias"])
+            w = jnp.transpose(w, (2, 3, 1, 0))  # HWIO
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            x = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME", dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            ) + b
+            if idx in capture:
+                feats.append(x)
+        elif kind == "relu":
+            x = jax.nn.relu(x)
+        elif kind == "pool":
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+    return feats
+
+
+def get_features(params: dict, image: jnp.ndarray,
+                 size: int = 112) -> List[jnp.ndarray]:
+    """Reference `get_features` (`loss_utils.py:98-109`): nearest-resize to
+    112x112, no normalization, then the capture stack."""
+    x = image[None] if image.ndim == 3 else image
+    x = jax.image.resize(x, (x.shape[0], size, size, x.shape[-1]), "nearest")
+    return vgg_features(params, x)
+
+
+def content_loss(feats_gt: List[jnp.ndarray], feats_pred: List[jnp.ndarray],
+                 layers: Optional[Sequence[int]] = None) -> jnp.ndarray:
+    """Sum over (selected) layers of MSE (`loss_utils.py:113-131`)."""
+    idxs = range(len(feats_gt)) if layers is None else layers
+    return sum(jnp.mean((feats_gt[i] - feats_pred[i]) ** 2) for i in idxs)
+
+
+def gram(feat: jnp.ndarray) -> jnp.ndarray:
+    """Unnormalized Gram matrix of [B, H, W, C] -> [C, C] (batch 1)."""
+    f = feat[0].reshape(-1, feat.shape[-1])  # [HW, C]
+    return jax.lax.dot_general(
+        f, f, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def style_loss(feats_gt: List[jnp.ndarray], feats_pred: List[jnp.ndarray],
+               layers: Optional[Sequence[int]] = None) -> jnp.ndarray:
+    """Sum over (selected) layers of Gram-matrix MSE (`:178-205`)."""
+    idxs = range(len(feats_gt)) if layers is None else layers
+    return sum(
+        jnp.mean((gram(feats_pred[i]) - gram(feats_gt[i])) ** 2) for i in idxs
+    )

@@ -71,6 +71,14 @@ def save_ply(scene: GaussianScene, path: str, compact_first: bool = True) -> Non
         f.write(np.ascontiguousarray(data).tobytes())
 
 
+_PLY_DTYPES = {
+    "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
+    "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+    "short": "<i2", "ushort": "<u2", "int": "<i4", "int32": "<i4",
+    "uint": "<u4", "uint32": "<u4",
+}
+
+
 def _parse_header(blob: bytes) -> Tuple[int, list, int]:
     m = _HEADER_RE.search(blob)
     if m is None:
@@ -93,9 +101,9 @@ def _parse_header(blob: bytes) -> Tuple[int, list, int]:
                 n = int(parts[2])
         elif ln.startswith("property ") and in_vertex:
             _, dtype, name = ln.split()
-            if dtype not in ("float", "float32"):
+            if dtype not in _PLY_DTYPES:
                 raise ValueError(f"unsupported property dtype {dtype}")
-            props.append(name)
+            props.append((name, _PLY_DTYPES[dtype]))
     if n is None:
         raise ValueError("no vertex element")
     return n, props, m.end()
@@ -108,8 +116,7 @@ def load_ply_arrays(path: str) -> dict:
     with open(path, "rb") as f:
         blob = f.read()
     n, props, offset = _parse_header(blob)
-    rec = np.frombuffer(blob, dtype=np.dtype([(p, "<f4") for p in props]), count=n,
-                        offset=offset)
+    rec = np.frombuffer(blob, dtype=np.dtype(props), count=n, offset=offset)
 
     def col(name):
         return np.asarray(rec[name])
@@ -118,8 +125,9 @@ def load_ply_arrays(path: str) -> dict:
     opacity = col("opacity")[:, None]
     f_dc = np.stack([col("f_dc_0"), col("f_dc_1"), col("f_dc_2")], axis=1)[:, :, None]
 
+    names = [p[0] for p in props]
     f_rest_names = sorted(
-        (p for p in props if p.startswith("f_rest_")), key=lambda s: int(s.split("_")[-1])
+        (p for p in names if p.startswith("f_rest_")), key=lambda s: int(s.split("_")[-1])
     )
     f_rest = (
         np.stack([col(p) for p in f_rest_names], axis=1) if f_rest_names
@@ -129,11 +137,11 @@ def load_ply_arrays(path: str) -> dict:
     f_rest = f_rest.reshape(n, 3, num_rest)
 
     scale_names = sorted(
-        (p for p in props if p.startswith("scale_")), key=lambda s: int(s.split("_")[-1])
+        (p for p in names if p.startswith("scale_")), key=lambda s: int(s.split("_")[-1])
     )
     scales = np.stack([col(p) for p in scale_names], axis=1)
     rot_names = sorted(
-        (p for p in props if p.startswith("rot")), key=lambda s: int(s.split("_")[-1])
+        (p for p in names if p.startswith("rot")), key=lambda s: int(s.split("_")[-1])
     )
     rots = np.stack([col(p) for p in rot_names], axis=1)
     return {

@@ -1,0 +1,80 @@
+"""Content-scene preparation: clustering, outlier removal, density subsample.
+
+Equivalent of notebook 11 cells 5-6 (`prepare_scene`, `remove_outliers`,
+`sample_points_by_density`) of
+`/root/reference/notebooks/11.fit_cluster_to_the_full_scene.ipynb`:
+
+- K-means over content positions (per-cluster processing bounds the O(n^2)
+  neighborhood math),
+- outlier removal: drop points whose k-th-NN distance exceeds the q
+  quantile (k=30, q notebook default 0.925; the full-scene run uses 0.975),
+- inverse-density subsampling: sample ~1/10 of each cluster's points with
+  probability inversely proportional to the neighbor count within
+  `radius` (computed, like the reference, against every 10th point).
+
+The per-cluster distance work uses the blockwise KNN kernels — no N x N
+materialization beyond a cluster.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from wast3d_tpu.ops.kmeans import kmeans
+from wast3d_tpu.ops.knn import knn_sq_dists, pairwise_sq_dists
+
+
+def remove_outliers(points: np.ndarray, kth_neighbor: int = 30,
+                    q: float = 0.925) -> np.ndarray:
+    """Indices of points whose kth-NN distance is below the q quantile."""
+    n = len(points)
+    k = min(kth_neighbor, n)
+    d2, _ = knn_sq_dists(jnp.asarray(points, jnp.float32),
+                         jnp.asarray(points, jnp.float32), k=k)
+    kth = np.sqrt(np.asarray(d2)[:, k - 1])
+    thresh = np.quantile(kth, q)
+    return np.nonzero(kth < thresh)[0]
+
+
+def sample_points_by_density(
+    points: np.ndarray, num_samples: Optional[int] = None,
+    radius: float = 0.05, seed: int = 0,
+) -> np.ndarray:
+    """Inverse-density sampling (vs every-10th-point neighbor counts)."""
+    pts = jnp.asarray(points, jnp.float32)
+    d2 = pairwise_sq_dists(pts, pts[::10])
+    counts = np.asarray(jnp.sum(d2 <= radius * radius, axis=1))
+    inv = 1.0 / (counts + 1.0)
+    probs = inv / inv.sum()
+    if num_samples is None:
+        num_samples = len(points) // 10
+    rng = np.random.default_rng(seed)
+    return rng.choice(len(points), size=num_samples, replace=True, p=probs)
+
+
+def prepare_scene(
+    points: np.ndarray, num_clusters: int = 40,
+    num_samples: Optional[int] = None, radius: float = 0.05,
+    q: float = 0.925, kth_neighbor: int = 30, seed: int = 0,
+) -> np.ndarray:
+    """Clean + subsample the content scene. Returns indices into `points`
+    of the retained 'domain' points (notebook 11 `prepare_scene`)."""
+    points = np.asarray(points, np.float32)
+    _, labels = kmeans(points, num_clusters, iters=100, seed=seed)
+    kept: List[np.ndarray] = []
+    for lbl in range(num_clusters):
+        cluster_idx = np.nonzero(labels == lbl)[0]
+        if len(cluster_idx) < 2:
+            continue
+        non_outliers = remove_outliers(points[cluster_idx], kth_neighbor, q)
+        clean_idx = cluster_idx[non_outliers]
+        if len(clean_idx) < 2:
+            continue
+        sampled = sample_points_by_density(
+            points[clean_idx], num_samples=num_samples, radius=radius, seed=seed
+        )
+        kept.append(clean_idx[sampled])
+    return np.concatenate(kept) if kept else np.zeros(0, np.int64)
