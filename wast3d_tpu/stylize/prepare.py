@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,14 +28,42 @@ from wast3d_tpu.ops.kmeans import kmeans
 from wast3d_tpu.ops.knn import knn_sq_dists, pairwise_sq_dists
 
 
+def _cpu():
+    """Host-side prep math runs on the CPU backend: per-bucket shapes would
+    each cost tens of seconds of (remote) TPU compilation for milliseconds
+    of compute."""
+    return jax.default_device(jax.local_devices(backend="cpu")[0])
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    """Next power-of-two bucket: per-cluster calls share jit compilations
+    instead of recompiling for every cluster size (a per-cluster-shape
+    recompile storm costs minutes on TPU)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_points(points: np.ndarray, cap: int):
+    pad = cap - len(points)
+    padded = np.pad(points.astype(np.float32), ((0, pad), (0, 0)))
+    mask = np.zeros(cap, bool)
+    mask[: len(points)] = True
+    return padded, mask
+
+
 def remove_outliers(points: np.ndarray, kth_neighbor: int = 30,
                     q: float = 0.925) -> np.ndarray:
     """Indices of points whose kth-NN distance is below the q quantile."""
     n = len(points)
     k = min(kth_neighbor, n)
-    d2, _ = knn_sq_dists(jnp.asarray(points, jnp.float32),
-                         jnp.asarray(points, jnp.float32), k=k)
-    kth = np.sqrt(np.asarray(d2)[:, k - 1])
+    padded, mask = _pad_points(np.asarray(points), _bucket(n))
+    with _cpu():
+        d2, _ = knn_sq_dists(jnp.asarray(padded), jnp.asarray(padded), k=k,
+                             query_mask=jnp.asarray(mask),
+                             data_mask=jnp.asarray(mask))
+    kth = np.sqrt(np.asarray(d2)[:n, k - 1])
     thresh = np.quantile(kth, q)
     return np.nonzero(kth < thresh)[0]
 
@@ -44,15 +73,22 @@ def sample_points_by_density(
     radius: float = 0.05, seed: int = 0,
 ) -> np.ndarray:
     """Inverse-density sampling (vs every-10th-point neighbor counts)."""
-    pts = jnp.asarray(points, jnp.float32)
-    d2 = pairwise_sq_dists(pts, pts[::10])
-    counts = np.asarray(jnp.sum(d2 <= radius * radius, axis=1))
+    n = len(points)
+    padded, mask = _pad_points(np.asarray(points), _bucket(n))
+    with _cpu():
+        pts = jnp.asarray(padded)
+        cols = pts[::10]
+        col_mask = jnp.asarray(mask)[::10]
+        d2 = pairwise_sq_dists(pts, cols)
+        counts = np.asarray(
+            jnp.sum((d2 <= radius * radius) & col_mask[None, :], axis=1)
+        )[:n]
     inv = 1.0 / (counts + 1.0)
     probs = inv / inv.sum()
     if num_samples is None:
-        num_samples = len(points) // 10
+        num_samples = n // 10
     rng = np.random.default_rng(seed)
-    return rng.choice(len(points), size=num_samples, replace=True, p=probs)
+    return rng.choice(n, size=num_samples, replace=True, p=probs)
 
 
 def prepare_scene(

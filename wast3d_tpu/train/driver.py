@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from wast3d_tpu.utils.cache import enable as _enable_cache
+
+_enable_cache()
+
 from wast3d_tpu.config import (
     ModelConfig,
     OptimizationConfig,
