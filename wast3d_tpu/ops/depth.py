@@ -48,7 +48,11 @@ def depth_to_normals(depth: jnp.ndarray, fx, fy, cx=None, cy=None) -> jnp.ndarra
         [_spatial_gradient(pts[..., c])[1] for c in range(3)], axis=-1
     )
     n = jnp.cross(du, dv)
-    return n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-8)
+    # rsqrt with epsilon INSIDE keeps gradients finite where n == 0
+    # (flat/background regions); a plain norm+eps normalization produces
+    # NaN gradients there (0/0 in the norm's VJP).
+    inv = jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
+    return n * inv
 
 
 def gaussian_blur(img: jnp.ndarray, sigma: float, radius: int = None) -> jnp.ndarray:

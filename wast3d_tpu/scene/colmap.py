@@ -100,6 +100,12 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
 
 def read_points3d_binary(path: str):
     """Returns (xyz [N,3] f64, rgb [N,3] u8, error [N])."""
+    from wast3d_tpu import native
+
+    fast = native.read_colmap_points3d(path)
+    if fast is not None:
+        xyz, rgb = fast
+        return xyz, rgb, np.zeros(len(xyz))
     with open(path, "rb") as f:
         (num,) = _read(f, "<Q")
         xyz = np.empty((num, 3))

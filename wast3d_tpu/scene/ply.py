@@ -112,11 +112,24 @@ def _parse_header(blob: bytes) -> Tuple[int, list, int]:
 def load_ply_arrays(path: str) -> dict:
     """Read a reference-schema PLY into raw numpy arrays
     (mirrors `gaussian_model.py:215-256`, including sorted f_rest/scale/rot
-    name order)."""
+    name order). Uses the native C++ reader when available (all-f32
+    files), numpy otherwise."""
     with open(path, "rb") as f:
-        blob = f.read()
-    n, props, offset = _parse_header(blob)
-    rec = np.frombuffer(blob, dtype=np.dtype(props), count=n, offset=offset)
+        head = f.read(1 << 16)
+    n, props, offset = _parse_header(head if b"end_header" in head else open(path, "rb").read())
+
+    rec = None
+    if all(dt == "<f4" for _, dt in props):
+        from wast3d_tpu import native
+
+        fast = native.read_ply_f32(path)
+        if fast is not None and fast[1] == n and fast[2] == len(props):
+            data = fast[0]
+            rec = {name: data[:, i] for i, (name, _) in enumerate(props)}
+    if rec is None:
+        with open(path, "rb") as f:
+            blob = f.read()
+        rec = np.frombuffer(blob, dtype=np.dtype(props), count=n, offset=offset)
 
     def col(name):
         return np.asarray(rec[name])
