@@ -1,0 +1,125 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh: ring KNN parity,
+sharded train step, style sweep."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wast3d_tpu.parallel.mesh import make_mesh
+from wast3d_tpu.parallel.ring import ring_knn_sq_dists, ring_mean_sq_dist_to_3nn
+from wast3d_tpu.ops.knn import knn_sq_dists, mean_sq_dist_to_3nn
+
+
+class TestRingKNN:
+    def test_matches_single_device(self):
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(256, 3)), jnp.float32)
+        mesh = make_mesh(8, data=1)
+        d_ring, i_ring = ring_knn_sq_dists(pts, pts, k=4, mesh=mesh,
+                                           exclude_self=True)
+        d_ref, i_ref = knn_sq_dists(pts, pts, k=4, exclude_self=True, block=64)
+        np.testing.assert_allclose(np.asarray(d_ring), np.asarray(d_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_query_data_different(self):
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+        data = jnp.asarray(rng.normal(size=(128, 3)), jnp.float32)
+        mesh = make_mesh(8, data=1)
+        d_ring, i_ring = ring_knn_sq_dists(q, data, k=1, mesh=mesh)
+        full = ((np.asarray(q)[:, None] - np.asarray(data)[None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(np.asarray(i_ring[:, 0]), full.argmin(1))
+
+    def test_validity_mask(self):
+        rng = np.random.default_rng(2)
+        pts = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+        valid = jnp.zeros(64, bool).at[:32].set(True)
+        mesh = make_mesh(8, data=1)
+        d, i = ring_knn_sq_dists(pts, pts, k=2, mesh=mesh, data_valid=valid)
+        assert int(np.asarray(i).max()) < 32
+
+    def test_mean_sq_dist_sharded(self):
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.normal(size=(512, 3)), jnp.float32)
+        mesh = make_mesh(8, data=1)
+        out = np.asarray(ring_mean_sq_dist_to_3nn(pts, mesh))
+        ref = np.asarray(mean_sq_dist_to_3nn(pts, block=128))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
+    def test_mesh_with_data_axis(self):
+        rng = np.random.default_rng(4)
+        pts = jnp.asarray(rng.normal(size=(128, 3)), jnp.float32)
+        mesh = make_mesh(8, data=2)  # model axis = 4
+        d, _ = ring_knn_sq_dists(pts, pts, k=3, mesh=mesh, exclude_self=True)
+        ref, _ = knn_sq_dists(pts, pts, k=3, exclude_self=True, block=64)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestStyleSweep:
+    def test_sweep_matches_individual(self):
+        from tests.test_train import _mini_scene
+        from wast3d_tpu.config import StylizeConfig
+        from wast3d_tpu.stylize.cluster import StylePatch
+        from wast3d_tpu.stylize.sweep import stylize_sweep
+
+        rng = np.random.default_rng(0)
+        n = 200
+        pts = rng.normal(size=(n, 3)).astype(np.float32)
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        content = _mini_scene(n=n, cap=256, seed=0).replace(
+            xyz=jnp.zeros((256, 3)).at[:n].set(jnp.asarray(pts))
+        )
+
+        def make_patch(seed):
+            r = np.random.default_rng(seed)
+            g = np.stack(np.meshgrid(np.linspace(-1, 1, 6), np.linspace(-1, 1, 6)),
+                         -1).reshape(-1, 2)
+            m = 36
+            return StylePatch({
+                "_xyz": np.concatenate([g, r.normal(size=(m, 1)) * 0.02], 1)
+                .astype(np.float32) * 0.3,
+                "_features_dc": r.normal(size=(m, 1, 3)).astype(np.float32),
+                "_features_rest": np.zeros((m, 15, 3), np.float32),
+                "_rotation": np.tile([[1, 0, 0, 0]], (m, 1)).astype(np.float32),
+                "_scaling": np.full((m, 3), -4.0, np.float32),
+                "_opacity": np.ones((m, 1), np.float32),
+            })
+
+        cfg = StylizeConfig(num_content_clusters=3, global_knn=12,
+                            global_stride=4, local_knn=6, fit_steps=30,
+                            min_ball_points=8, domain_knn=4, ball_capacity=128)
+        mesh = make_mesh(8, data=2)
+        outs = stylize_sweep(
+            content, [make_patch(1), make_patch(2)], cfg=cfg, mesh=mesh,
+            max_style_points=36, verbose=True,
+        )
+        assert len(outs) == 2
+        for out in outs:
+            assert int(out.num_active) > 10
+            xyz = np.asarray(out.xyz)[np.asarray(out.mask)]
+            assert np.isfinite(xyz).all()
+
+    def test_sweep_no_mesh(self):
+        # Same path without sharding (single device fallback).
+        self_test = TestStyleSweep()
+        # reuse above with mesh=None by monkeypatching? simpler: smoke only
+        from wast3d_tpu.config import StylizeConfig
+        from wast3d_tpu.stylize import fit as F
+        from wast3d_tpu.stylize.sweep import fit_balls_sweep
+
+        rng = np.random.default_rng(5)
+        pts = rng.normal(size=(24, 3)).astype(np.float32) * 0.2
+        cfg = StylizeConfig(global_knn=6, global_stride=2, local_knn=4,
+                            fit_steps=10, domain_knn=3)
+        descs = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[F.compute_target_descriptors(pts, cfg) for _ in range(2)],
+        )
+        targets = jnp.stack([jnp.asarray(pts)] * 2)
+        balls = jnp.asarray(rng.normal(size=(2, 3, 32, 3)), jnp.float32)
+        mask = jnp.ones((2, 3, 32), bool)
+        out = fit_balls_sweep(targets, descs, balls, mask, cfg, mesh=None)
+        assert out.shape == (2, 3, 24, 3)
+        assert np.isfinite(np.asarray(out)).all()

@@ -68,7 +68,11 @@ def stylize_scene(
         domain, r=d_outer * cfg.ball_radius_factor,
         min_points_per_cluster=cfg.min_ball_points,
     )
-    circles = coverage.filter_circles(circles)
+    # Reference cell 22 drops balls with <= 21 points (about half the
+    # growth minimum of 40); scale with the configured minimum.
+    circles = coverage.filter_circles(
+        circles, min_points=max(1, cfg.min_ball_points // 2)
+    )
     if verbose:
         print(f"domain {len(domain)} pts, {len(circles)} balls, "
               f"patch {len(patch)} pts ({time.time() - t0:.1f}s)")
