@@ -47,6 +47,8 @@ class RasterizeSettings(NamedTuple):
     chunk: int = 32
     max_tiles_per_gaussian: int = 64
     pallas_interpret: bool = False
+    phase_a_tiles: int = 8  # binning phase-A slots per gaussian
+    big_budget_divisor: int = 16  # phase-B budget = N / divisor
 
 
 def random_sampling_offsets(key: jax.Array, height: int, width: int) -> jnp.ndarray:
@@ -129,6 +131,8 @@ def render(
             dup_capacity=settings.dup_capacity,
             max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
             interpret=settings.pallas_interpret,
+            phase_a_tiles=settings.phase_a_tiles,
+            big_budget_divisor=settings.big_budget_divisor,
         )
         color, depth, final_T, overflow = out
     else:

@@ -8,23 +8,23 @@ scattering three payload buffers is exactly what's slow on TPU, so the
 pipeline is restructured:
 
 1. **Depth pre-sort** the N Gaussians once (cheap: N << #duplicates).
-2. Emit duplicate (tile_id, gaussian) pairs in depth order via
-   exclusive-cumsum offsets + masked scatter at static capacity. Emission
-   is two-phase to bound scatter volume: every Gaussian gets
-   `phase_a_tiles` slots (covers the overwhelmingly common small rects),
-   and a `top_k`-selected big-Gaussian subset gets the remaining
-   `max_tiles_per_gaussian - phase_a_tiles` slots. Each Gaussian's
-   duplicates stay contiguous, so buffer position remains depth-monotone.
-3. **Stable single-key sort by tile id** — stability inherits the depth
-   order from step 1, replacing the 64-bit key sort with an int32 sort.
+2. Emit the (tile_id, depth_rank) duplicate grid directly — two-phase to
+   bound its size: every Gaussian gets `phase_a_tiles` slots (covers the
+   overwhelmingly common small rects) and a depth-ranked big-Gaussian
+   subset gets the remaining `max_tiles_per_gaussian - phase_a_tiles`.
+3. **Two-key (tile, depth-rank) int32 sort of the raw grid** — no offset
+   cumsums, no scatters; the rank key restores exact within-tile depth
+   order across the two emission phases.
 4. Per-tile ranges via searchsorted (`identifyTileRanges`,
    `rasterizer_impl.cu:116`).
 
 Static capacities are the XLA-shape price: Gaussians whose rect exceeds
-`max_tiles_per_gaussian` tiles, ones with rect > phase_a_tiles that miss
-the big-subset budget, or duplicates beyond `dup_capacity`, are dropped
-and counted in the returned overflow diagnostics. The CUDA version has no
-caps; callers size them so overflow stays zero.
+`max_tiles_per_gaussian` tiles, or with rect > phase_a_tiles beyond the
+big-subset budget, are truncated and flagged in the overflow diagnostic.
+The CUDA version has no caps; callers size them so overflow stays zero.
+The sorted-list length is static: N * phase_a_tiles + n_big * (max -
+phase_a); `dup_capacity` is accepted for API compatibility but no longer
+sizes anything.
 """
 
 from __future__ import annotations
@@ -99,57 +99,55 @@ def bin_gaussians(
     n_big = min(n_big, n)
     te_a = jnp.minimum(tiles_touched, ra)
     if rb > 0 and n_big > 0:
-        big_score = jnp.where(tiles_touched > ra, tiles_touched, 0)
-        _, big_idx = jax.lax.top_k(big_score, n_big)  # indices into sorted order
-        is_big = jnp.zeros((n,), bool).at[big_idx].set(big_score[big_idx] > 0)
+        # First-n_big big Gaussians in depth order via cumsum ranking
+        # (a top_k with k ~ N/16 costs tens of ms on TPU; this is O(N)).
+        wants_b = tiles_touched > ra
+        brank = jnp.cumsum(wants_b) - 1
+        is_big = wants_b & (brank < n_big)
+        # Rank -> sorted-order index table for the phase-B emission grid.
+        big_idx = jnp.zeros((n_big,), jnp.int32).at[
+            jnp.where(is_big, brank, n_big)
+        ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
         te_b = jnp.where(is_big, jnp.clip(tiles_touched - ra, 0, rb), 0)
     else:
         big_idx = jnp.zeros((1,), jnp.int32)
         is_big = jnp.zeros((n,), bool)
         te_b = jnp.zeros((n,), jnp.int32)
-    te = te_a + te_b
-    offsets = jnp.cumsum(te) - te  # exclusive; contiguous per gaussian
-    total = offsets[-1] + te[-1]
+    total = jnp.sum(te_a) + jnp.sum(te_b)
 
     overflow = (
         jnp.any((tiles_touched > ra) & ~is_big)
         | jnp.any(tiles_touched > max_tiles_per_gaussian)
-        | (total > dup_capacity)
     )
 
-    tiles_buf = jnp.full((dup_capacity,), num_tiles, jnp.int32)
-    gauss_buf = jnp.zeros((dup_capacity,), jnp.int32)
-
-    def emit(tiles_buf, gauss_buf, sel, r0, r_count, base_off):
-        """Scatter (tile, gauss) pairs for rect positions [r0, r0+r_count)
-        of the selected gaussians. sel: indices into sorted order."""
+    def emission_grid(sel, r0, r_count):
+        """(tile_id, depth_rank) pairs for rect positions [r0, r0+r_count)
+        of the selected (sorted-order) gaussians; invalid -> num_tiles."""
         r_idx = r0 + jnp.arange(r_count, dtype=jnp.int32)[None, :]
         rw = jnp.maximum(rect_w[sel], 1)[:, None]
         tx = xmin[sel][:, None] + r_idx % rw
         ty = ymin[sel][:, None] + r_idx // rw
         tile_id = ty * grid_x + tx
         valid = r_idx < (te_a[sel] + te_b[sel])[:, None]
-        pos = base_off[:, None] + r_idx
-        pos = jnp.where(valid & (pos < dup_capacity), pos, dup_capacity)
-        flat_pos = pos.reshape(-1)
-        tiles_buf = tiles_buf.at[flat_pos].set(tile_id.reshape(-1), mode="drop")
-        gauss_buf = gauss_buf.at[flat_pos].set(
-            jnp.broadcast_to(order[sel][:, None], tile_id.shape).reshape(-1),
-            mode="drop",
-        )
-        return tiles_buf, gauss_buf
+        tile_id = jnp.where(valid, tile_id, num_tiles)
+        rank = jnp.broadcast_to(sel[:, None], tile_id.shape)
+        return tile_id.reshape(-1), rank.reshape(-1)
 
+    # 3. Sort the emission grid DIRECTLY with a (tile, depth-rank)
+    # two-key sort — no cumsum offsets, no scatters. The rank key restores
+    # exact within-tile depth order even across the phase-A/B segments.
     all_idx = jnp.arange(n, dtype=jnp.int32)
-    tiles_buf, gauss_buf = emit(tiles_buf, gauss_buf, all_idx, 0, ra, offsets)
+    tile_a, rank_a = emission_grid(all_idx, 0, ra)
     if rb > 0 and n_big > 0:
-        tiles_buf, gauss_buf = emit(
-            tiles_buf, gauss_buf, big_idx, ra, rb, (offsets + te_a)[big_idx] - ra
-        )
-
-    # 3. Stable sort by tile id alone — positions are depth-monotone.
-    sorted_tile, sorted_gauss = jax.lax.sort(
-        (tiles_buf, gauss_buf), dimension=0, num_keys=1, is_stable=True
+        tile_b, rank_b = emission_grid(big_idx, ra, rb)
+        tiles_buf = jnp.concatenate([tile_a, tile_b])
+        ranks_buf = jnp.concatenate([rank_a, rank_b])
+    else:
+        tiles_buf, ranks_buf = tile_a, rank_a
+    sorted_tile, sorted_rank = jax.lax.sort(
+        (tiles_buf, ranks_buf), dimension=0, num_keys=2
     )
+    sorted_gauss = order[sorted_rank]
 
     # 4. Tile ranges.
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)

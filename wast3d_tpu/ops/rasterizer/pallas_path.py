@@ -27,7 +27,8 @@ from wast3d_tpu.ops.rasterizer.tiled import RenderOutput, _tile_pixel_coords
 @partial(
     jax.jit,
     static_argnames=("width", "height", "dup_capacity",
-                     "max_tiles_per_gaussian", "interpret"),
+                     "max_tiles_per_gaussian", "interpret",
+                     "phase_a_tiles", "big_budget_divisor"),
 )
 def render_pallas(
     prep: Preprocessed,
@@ -38,6 +39,8 @@ def render_pallas(
     dup_capacity: int = 1 << 18,
     max_tiles_per_gaussian: int = 64,
     interpret: bool = False,
+    phase_a_tiles: int = 8,
+    big_budget_divisor: int = 16,
 ) -> RenderOutput:
     grid_x, grid_y = tile_grid(width, height)
     num_tiles = grid_x * grid_y
@@ -46,6 +49,7 @@ def render_pallas(
     binning = bin_gaussians(
         prep.means2d, prep.depths, prep.radii, width, height,
         dup_capacity=dup_capacity, max_tiles_per_gaussian=max_tiles_per_gaussian,
+        phase_a_tiles=phase_a_tiles, big_budget_divisor=big_budget_divisor,
     )
     # Pack per-Gaussian rows once (elementwise), then ONE gather into sorted
     # order + transpose — instead of six separate gathers.
@@ -59,15 +63,15 @@ def render_pallas(
         axis=1,
     )  # [N,10]
     sorted_rows = packed_g[binning.gauss_idx]  # [K,10]
+    K = sorted_rows.shape[0]
     packed = jnp.pad(
-        sorted_rows.T,
-        ((0, pb.NROWS - sorted_rows.shape[1]), (0, dup_capacity + pb.G - sorted_rows.shape[0])),
+        sorted_rows.T, ((0, pb.NROWS - sorted_rows.shape[1]), (0, pb.G))
     )  # [16, K+G]
     # Invalid tail entries (sorted past the last real tile) carry sentinel
     # depth/garbage; they are never inside any [start, end) so the kernel
     # ignores them, but ensure they cannot poison via NaN — and this mask's
     # VJP also zeroes any gradient rows the kernel leaves for the tail.
-    valid_dup = jnp.arange(dup_capacity + pb.G) < binning.tile_end[-1]
+    valid_dup = jnp.arange(K + pb.G) < binning.tile_end[-1]
     packed = jnp.where(valid_dup[None, :], packed, 0.0)
 
     px, py = _tile_pixel_coords(grid_x, grid_y)  # [T,P]

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from wast3d_tpu.core.sh import eval_sh_color
@@ -72,60 +73,80 @@ def preprocess(
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
 
-    p_hom = jnp.concatenate([means3d, jnp.ones((n, 1), means3d.dtype)], axis=1)
-    p_view = p_hom @ view_transform[:, :3]  # [N,3]
-    depths = p_view[:, 2]
+    x, y, z = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    V = view_transform  # [4,4] transposed storage: p_view = p_hom @ V
+    vx = x * V[0, 0] + y * V[1, 0] + z * V[2, 0] + V[3, 0]
+    vy = x * V[0, 1] + y * V[1, 1] + z * V[2, 1] + V[3, 1]
+    vz = x * V[0, 2] + y * V[1, 2] + z * V[2, 2] + V[3, 2]
+    depths = vz
 
-    p_clip = p_hom @ full_proj_transform  # [N,4]
-    p_w = 1.0 / (p_clip[:, 3] + 1e-7)
-    p_proj = p_clip[:, :3] * p_w[:, None]
-
+    Pm = full_proj_transform
+    cx = x * Pm[0, 0] + y * Pm[1, 0] + z * Pm[2, 0] + Pm[3, 0]
+    cy = x * Pm[0, 1] + y * Pm[1, 1] + z * Pm[2, 1] + Pm[3, 1]
+    cw = x * Pm[0, 3] + y * Pm[1, 3] + z * Pm[2, 3] + Pm[3, 3]
+    p_w = 1.0 / (cw + 1e-7)
     # ndc2Pix (auxiliary.h:41-44)
-    mean_x = ((p_proj[:, 0] + 1.0) * width - 1.0) * 0.5
-    mean_y = ((p_proj[:, 1] + 1.0) * height - 1.0) * 0.5
+    mean_x = ((cx * p_w + 1.0) * width - 1.0) * 0.5
+    mean_y = ((cy * p_w + 1.0) * height - 1.0) * 0.5
     means2d = jnp.stack([mean_x, mean_y], axis=1)
 
-    # 3D covariance (packed symmetric 6-vector).
+    # 3D covariance Sigma = R S S^T R^T, fully componentwise (batched 3x3
+    # matmuls are MXU-hostile; elementwise chains fuse on the VPU).
     if cov3d_precomp is not None:
-        cov3d = cov3d_precomp
+        sxx, sxy, sxz, syy, syz, szz = (cov3d_precomp[:, i] for i in range(6))
     else:
-        cov3d = covariance_from_scaling_rotation(scales, scaling_modifier, rotations)
+        qw, qx, qy, qz = (rotations[:, i] for i in range(4))
+        sx, sy, sz = (scaling_modifier * scales[:, i] for i in range(3))
+        r00 = 1.0 - 2.0 * (qy * qy + qz * qz)
+        r01 = 2.0 * (qx * qy - qw * qz)
+        r02 = 2.0 * (qx * qz + qw * qy)
+        r10 = 2.0 * (qx * qy + qw * qz)
+        r11 = 1.0 - 2.0 * (qx * qx + qz * qz)
+        r12 = 2.0 * (qy * qz - qw * qx)
+        r20 = 2.0 * (qx * qz - qw * qy)
+        r21 = 2.0 * (qy * qz + qw * qx)
+        r22 = 1.0 - 2.0 * (qx * qx + qy * qy)
+        # L = R diag(s); Sigma = L L^T
+        l00, l01, l02 = r00 * sx, r01 * sy, r02 * sz
+        l10, l11, l12 = r10 * sx, r11 * sy, r12 * sz
+        l20, l21, l22 = r20 * sx, r21 * sy, r22 * sz
+        sxx = l00 * l00 + l01 * l01 + l02 * l02
+        sxy = l00 * l10 + l01 * l11 + l02 * l12
+        sxz = l00 * l20 + l01 * l21 + l02 * l22
+        syy = l10 * l10 + l11 * l11 + l12 * l12
+        syz = l10 * l20 + l11 * l21 + l12 * l22
+        szz = l20 * l20 + l21 * l21 + l22 * l22
 
-    # EWA projection (computeCov2D). Clamp view-space x/y to the dilated
-    # frustum before building the Jacobian.
+    # EWA projection (computeCov2D): clamp view x/y to the dilated frustum.
     tz = depths
-    tx = jnp.clip(p_view[:, 0] / tz, -1.3 * tan_fovx, 1.3 * tan_fovx) * tz
-    ty = jnp.clip(p_view[:, 1] / tz, -1.3 * tan_fovy, 1.3 * tan_fovy) * tz
-
-    # J rows: d(pix)/d(view). W: world->view rotation. Our view_transform is
-    # stored transposed, so the rotation is view_transform[:3,:3] acting on
-    # row vectors; cov transforms as M Sigma M^T with M = J @ W.
-    W = view_transform[:3, :3].T  # [3,3] world->view rotation, column-vector form
     inv_z = 1.0 / tz
+    tx = jnp.clip(vx * inv_z, -1.3 * tan_fovx, 1.3 * tan_fovx) * tz
+    ty = jnp.clip(vy * inv_z, -1.3 * tan_fovy, 1.3 * tan_fovy) * tz
     inv_z2 = inv_z * inv_z
-    # J [N,2,3]
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], axis=-1),
-            jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )
-    M = J @ W  # [N,2,3]
-    xx, xy, xz, yy, yz, zz = (cov3d[:, i] for i in range(6))
-    Vrk = jnp.stack(
-        [
-            jnp.stack([xx, xy, xz], axis=-1),
-            jnp.stack([xy, yy, yz], axis=-1),
-            jnp.stack([xz, yz, zz], axis=-1),
-        ],
-        axis=-2,
-    )
-    cov2d = M @ Vrk @ jnp.swapaxes(M, -1, -2)  # [N,2,2]
-    cxx = cov2d[:, 0, 0] + COV2D_DILATION
-    cxy = cov2d[:, 0, 1]
-    cyy = cov2d[:, 1, 1] + COV2D_DILATION
+
+    # J rows (d pix / d view); W = world->view rotation (V[:3,:3] rows are
+    # its columns in this storage). M = J @ W, cov2d = M Sigma M^T.
+    j00 = focal_x * inv_z
+    j02 = -focal_x * tx * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * ty * inv_z2
+    # W[r][c] = V[c, r] (see the matrix convention note in core/camera.py)
+    m00 = j00 * V[0, 0] + j02 * V[0, 2]
+    m01 = j00 * V[1, 0] + j02 * V[1, 2]
+    m02 = j00 * V[2, 0] + j02 * V[2, 2]
+    m10 = j11 * V[0, 1] + j12 * V[0, 2]
+    m11 = j11 * V[1, 1] + j12 * V[1, 2]
+    m12 = j11 * V[2, 1] + j12 * V[2, 2]
+    # t = M Sigma (2x3), cov2d = t M^T (2x2 symmetric)
+    t00 = m00 * sxx + m01 * sxy + m02 * sxz
+    t01 = m00 * sxy + m01 * syy + m02 * syz
+    t02 = m00 * sxz + m01 * syz + m02 * szz
+    t10 = m10 * sxx + m11 * sxy + m12 * sxz
+    t11 = m10 * sxy + m11 * syy + m12 * syz
+    t12 = m10 * sxz + m11 * syz + m12 * szz
+    cxx = t00 * m00 + t01 * m01 + t02 * m02 + COV2D_DILATION
+    cxy = t00 * m10 + t01 * m11 + t02 * m12
+    cyy = t10 * m10 + t11 * m11 + t12 * m12 + COV2D_DILATION
 
     det = cxx * cyy - cxy * cxy
     det_safe = jnp.where(det == 0.0, 1.0, det)
@@ -136,8 +157,6 @@ def preprocess(
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
 
-    # Tile-rect coverage test replicated at pixel granularity for the
-    # "touches zero area" cull (getRect semantics live in binning.py).
     valid = depths > NEAR_CULL_Z
     valid = valid & (det > 0.0)
     if mask is not None:
@@ -147,8 +166,11 @@ def preprocess(
     if colors_precomp is not None:
         colors = colors_precomp
     else:
-        dirs = means3d - camera_center[None, :]
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        dx = x - camera_center[0]
+        dy = y - camera_center[1]
+        dz = z - camera_center[2]
+        inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-20)
+        dirs = jnp.stack([dx * inv_n, dy * inv_n, dz * inv_n], axis=1)
         colors = eval_sh_color(sh_degree, jnp.swapaxes(shs, 1, 2), dirs)
 
     radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
