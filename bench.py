@@ -48,13 +48,16 @@ def _build(n, cap):
     pts = rng.normal(size=(n, 3)).astype(np.float32)
     pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-6)
     pts *= rng.uniform(0.8, 1.2, (n, 1)).astype(np.float32)
+    # Splat size scales with point density (as KNN-based init would):
+    # constant surface coverage regardless of n.
+    size_scale = (200_000 / n) ** 0.5
     return G.from_arrays(
         xyz=pts,
         features_dc=np.asarray(
             rgb_to_sh(jnp.asarray(rng.uniform(0.2, 0.8, (n, 3)), jnp.float32))
         )[:, None, :],
         features_rest=np.zeros((n, 15, 3), np.float32),
-        scaling=np.log(rng.uniform(0.004, 0.012, (n, 3))).astype(np.float32),
+        scaling=np.log(rng.uniform(0.004, 0.012, (n, 3)) * size_scale).astype(np.float32),
         rotation=np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1)),
         opacity=np.asarray(
             inverse_sigmoid(jnp.asarray(rng.uniform(0.4, 0.9, (n, 1)), jnp.float32))
@@ -83,7 +86,7 @@ def main():
     bg = jnp.zeros(3)
     settings = api.RasterizeSettings(
         renderer=os.environ.get("BENCH_RENDERER", "pallas"),
-        dup_capacity=max(1 << 21, 4 * n),
+        dup_capacity=6 * n,
         max_per_tile=int(os.environ.get("BENCH_MAX_PER_TILE", 1024)),
         chunk=32,
     )

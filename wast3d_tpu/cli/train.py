@@ -80,6 +80,7 @@ def main() -> None:
             settings=RasterizeSettings(renderer=args.renderer),
             seed=args.seed,
             quiet=args.quiet,
+            gui=gui,
         )
     finally:
         if gui:

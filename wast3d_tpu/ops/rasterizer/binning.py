@@ -22,9 +22,10 @@ Static capacities are the XLA-shape price: Gaussians whose rect exceeds
 `max_tiles_per_gaussian` tiles, or with rect > phase_a_tiles beyond the
 big-subset budget, are truncated and flagged in the overflow diagnostic.
 The CUDA version has no caps; callers size them so overflow stays zero.
-The sorted-list length is static: N * phase_a_tiles + n_big * (max -
-phase_a); `dup_capacity` is accepted for API compatibility but no longer
-sizes anything.
+The emission grid is static (N * phase_a_tiles + n_big * (max - phase_a),
+~2x the real duplicate count); after the sort, valid entries form a prefix
+and `dup_capacity` statically slices it so downstream gather/pack/blend
+pay only for real duplicates (overflow flags a too-small cap).
 """
 
 from __future__ import annotations
@@ -147,6 +148,15 @@ def bin_gaussians(
     sorted_tile, sorted_rank = jax.lax.sort(
         (tiles_buf, ranks_buf), dimension=0, num_keys=2
     )
+
+    # Valid entries sort to the FRONT (invalid carry tile == num_tiles), so
+    # the emission grid's 2x padding can be dropped with a static prefix
+    # slice: downstream gather/pack/blend scale with dup_capacity, not the
+    # grid. dup_capacity <= 0 keeps the full grid.
+    if 0 < dup_capacity < sorted_tile.shape[0]:
+        overflow = overflow | (total > dup_capacity)
+        sorted_tile = sorted_tile[:dup_capacity]
+        sorted_rank = sorted_rank[:dup_capacity]
     sorted_gauss = order[sorted_rank]
 
     # 4. Tile ranges.

@@ -88,13 +88,31 @@ def domain_adaptation_loss(
     return jnp.sum(d2 * nn_mask * domain_mask[None, :]) / (x.shape[0] * n_valid)
 
 
+def domain_coverage_loss(
+    fitted_points: jnp.ndarray, domain: jnp.ndarray,
+    domain_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Mean over domain points of squared distance to the nearest fitted
+    point — pulls patches to COVER the domain (the reference's
+    `loss_domain_coverage`, `visualize_and_fit_multiple_clusters.ipynb`
+    cells 13-20; off by default like notebook 11)."""
+    d2 = pairwise_sq_dists(domain, fitted_points)
+    m = domain_mask.astype(jnp.float32)
+    return jnp.sum(jnp.min(d2, axis=1) * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
 def _fit_loss(points, target: TargetDescriptors, domain, domain_mask, cfg):
     desc_g = descriptors_from_indices(points, target.idx_global)
     desc_l = descriptors_from_indices(points, target.idx_local)
     loss_g = jnp.mean((desc_g - target.desc_global) ** 2)
     loss_l = jnp.mean((desc_l - target.desc_local) ** 2)
     loss_d = domain_adaptation_loss(points, domain, domain_mask, cfg.domain_knn)
-    return cfg.w_global * loss_g + cfg.w_local * loss_l + cfg.w_domain * loss_d
+    loss = cfg.w_global * loss_g + cfg.w_local * loss_l + cfg.w_domain * loss_d
+    if getattr(cfg, "w_coverage", 0.0):
+        loss = loss + cfg.w_coverage * domain_coverage_loss(
+            points, domain, domain_mask
+        )
+    return loss
 
 
 @partial(jax.jit, static_argnames=("cfg",))

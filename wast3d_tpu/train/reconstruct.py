@@ -143,6 +143,7 @@ class Trainer:
         white_background: bool = False,
         jitter: bool = True,
         grow_threshold: float = 0.75,
+        gui=None,
     ):
         self.state = state
         self.cameras = cameras
@@ -159,6 +160,7 @@ class Trainer:
         self.rng = np.random.default_rng(seed)
         self.jitter = jitter
         self.grow_threshold = grow_threshold
+        self.gui = gui  # optional viewer.network_gui.NetworkGUI
         self._camera_order = []
         self.history = []
 
@@ -194,6 +196,13 @@ class Trainer:
         cfg = self.opt_cfg
         for _ in range(iterations):
             it = int(self.state.step) + 1  # 1-based like the reference
+            if self.gui is not None:
+                # Serve one live-view frame per iteration (reference polls
+                # the GUI socket at the top of the loop, train.py:57-70).
+                from wast3d_tpu.viewer.network_gui import serve_scene
+
+                serve_scene(self.gui, self.state.scene, settings=self.settings,
+                            bg_color=self.bg_color)
             # SH warm-up every 1000 iters (`train.py:77-78`).
             if it % 1000 == 0:
                 self.state = self.state._replace(

@@ -67,3 +67,23 @@ def debug_groups_loss(n: int = 8, k: int = 2, steps: int = 200,
     for _ in range(steps):
         data, mu, nu, t, loss = step(data, mu, nu, t)
     return float(loss)
+
+
+def standardize_xyz(xyz, mask=None):
+    """(xyz - mean) / std over active points + the inverse transform params
+    (the `train2.py:55-120` standardize/de-standardize experiment)."""
+    import jax.numpy as _jnp
+
+    if mask is None:
+        mean = _jnp.mean(xyz, axis=0)
+        std = _jnp.std(xyz, axis=0) + 1e-8
+    else:
+        m = mask.astype(_jnp.float32)[:, None]
+        n = _jnp.maximum(m.sum(), 1.0)
+        mean = _jnp.sum(xyz * m, axis=0) / n
+        std = _jnp.sqrt(_jnp.sum(((xyz - mean) ** 2) * m, axis=0) / n) + 1e-8
+    return (xyz - mean) / std, mean, std
+
+
+def destandardize_xyz(xyz_std, mean, std):
+    return xyz_std * std + mean
