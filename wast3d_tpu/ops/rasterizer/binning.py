@@ -45,6 +45,12 @@ class Binning(NamedTuple):
     tile_end: jnp.ndarray  # [T] range ends
     num_duplicates: jnp.ndarray  # [] total emitted (pre-drop)
     overflow: jnp.ndarray  # [] bool: any duplicate dropped
+    # Gather-avoidance pair: gauss_idx == depth_order[rank]. Consumers that
+    # can pre-sort their per-gaussian data by depth_order (one N-row
+    # gather) should index it with `rank` directly — materializing
+    # gauss_idx costs an extra K-row gather that XLA DCEs when unused.
+    depth_order: jnp.ndarray = None  # [N]
+    rank: jnp.ndarray = None  # [K] index into depth order
 
 
 def tile_grid(width: int, height: int) -> tuple:
@@ -171,4 +177,6 @@ def bin_gaussians(
         tile_end=tile_end,
         num_duplicates=total,
         overflow=overflow,
+        depth_order=order,
+        rank=sorted_rank,
     )

@@ -45,6 +45,16 @@ class TargetDescriptors(NamedTuple):
     desc_global: jnp.ndarray  # [Mg, kg-1]
     idx_local: jnp.ndarray  # [M, kl]
     desc_local: jnp.ndarray  # [M, kl-1]
+    # Dense reformulation (what the fit loop actually consumes): the
+    # descriptor losses are exactly
+    #   sum_ij W_ij (D_ij - T_ij)^2,  D = cdist(points, points)
+    # with W the per-pair weight folding both descriptor scales and their
+    # means' normalizations, and T the frozen target distances. D is one
+    # MXU matmul and the residual is dense VPU work — no per-step gathers
+    # (random gathers cost ~7.6ms per million rows on v5e and dominated
+    # the original index-based formulation).
+    pair_weight: jnp.ndarray = None  # [M, M]
+    pair_target: jnp.ndarray = None  # [M, M]
 
 
 def descriptors_from_indices(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -54,10 +64,19 @@ def descriptors_from_indices(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarr
     return jnp.linalg.norm(nns[:, 1:] - nns[:, :1], axis=-1)
 
 
+def _pair_mask(idx: jnp.ndarray, rows: jnp.ndarray, m: int) -> jnp.ndarray:
+    """[R,k] frozen NN indices (col 0 = self) -> dense [m,m] 0/1 mask of
+    the (row_point, neighbor) pairs the descriptor compares."""
+    mask = jnp.zeros((m, m), jnp.float32)
+    r = jnp.broadcast_to(rows[:, None], idx[:, 1:].shape)
+    return mask.at[r, idx[:, 1:]].add(1.0)
+
+
 def compute_target_descriptors(
     target_points: np.ndarray, cfg: StylizeConfig = StylizeConfig()
 ) -> TargetDescriptors:
-    """Frozen NN structure + descriptors of the style patch."""
+    """Frozen NN structure + descriptors of the style patch (index form
+    for inspection/tests, dense pair weight/target form for the fit)."""
     pts = jnp.asarray(target_points, jnp.float32)
     m = pts.shape[0]
     kg = min(cfg.global_knn, m)
@@ -69,7 +88,19 @@ def compute_target_descriptors(
     idx_g = idx_g[:: cfg.global_stride]
     desc_g = descriptors_from_indices(pts, idx_g)
     desc_l = descriptors_from_indices(pts, idx_l)
-    return TargetDescriptors(idx_g, desc_g, idx_l, desc_l)
+
+    rows_g = jnp.arange(m, dtype=jnp.int32)[:: cfg.global_stride]
+    rows_l = jnp.arange(m, dtype=jnp.int32)
+    mask_g = _pair_mask(idx_g, rows_g, m)
+    mask_l = _pair_mask(idx_l, rows_l, m)
+    # Fold the loss weights and the descriptor means' denominators so the
+    # dense loss equals w_g*mean((desc_g-t)^2) + w_l*mean((desc_l-t)^2).
+    weight = (
+        cfg.w_global * mask_g / desc_g.size + cfg.w_local * mask_l / desc_l.size
+    )
+    target = jnp.sqrt(jnp.maximum(pairwise_sq_dists(pts, pts), 1e-24))
+    return TargetDescriptors(idx_g, desc_g, idx_l, desc_l,
+                             pair_weight=weight, pair_target=target)
 
 
 def domain_adaptation_loss(
@@ -102,12 +133,12 @@ def domain_coverage_loss(
 
 
 def _fit_loss(points, target: TargetDescriptors, domain, domain_mask, cfg):
-    desc_g = descriptors_from_indices(points, target.idx_global)
-    desc_l = descriptors_from_indices(points, target.idx_local)
-    loss_g = jnp.mean((desc_g - target.desc_global) ** 2)
-    loss_l = jnp.mean((desc_l - target.desc_local) ** 2)
+    # Dense masked distance-matrix matching (see TargetDescriptors): both
+    # descriptor scales in ONE matmul + elementwise residual.
+    d = jnp.sqrt(jnp.maximum(pairwise_sq_dists(points, points), 1e-24))
+    loss_desc = jnp.sum(target.pair_weight * (d - target.pair_target) ** 2)
     loss_d = domain_adaptation_loss(points, domain, domain_mask, cfg.domain_knn)
-    loss = cfg.w_global * loss_g + cfg.w_local * loss_l + cfg.w_domain * loss_d
+    loss = loss_desc + cfg.w_domain * loss_d
     if getattr(cfg, "w_coverage", 0.0):
         loss = loss + cfg.w_coverage * domain_coverage_loss(
             points, domain, domain_mask
