@@ -149,7 +149,7 @@ class TestCLIs:
         # Arg wiring smoke: every CLI parses --help without importing jax
         # heavyweights incorrectly.
         for mod in ("train", "render", "metrics", "full_eval", "stylize",
-                    "save_clusters", "convert"):
+                    "save_clusters", "convert", "pipeline", "sweep"):
             res = subprocess.run(
                 [sys.executable, "-m", f"wast3d_tpu.cli.{mod}", "--help"],
                 capture_output=True, text=True, timeout=120,

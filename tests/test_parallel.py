@@ -123,3 +123,33 @@ class TestStyleSweep:
         out = fit_balls_sweep(targets, descs, balls, mask, cfg, mesh=None)
         assert out.shape == (2, 3, 24, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestShardedTrain:
+    def test_sharded_train_step(self):
+        import jax.numpy as jnp
+
+        from tests.test_rasterizer import _cam
+        from tests.test_train import _mini_scene
+        from wast3d_tpu.config import OptimizationConfig
+        from wast3d_tpu.ops.rasterizer.api import RasterizeSettings
+        from wast3d_tpu.parallel.train_sharded import (
+            init_sharded, make_sharded_train_step, shard_camera_batch,
+        )
+
+        mesh = make_mesh(8, data=2)
+        scene = _mini_scene(n=40, cap=64)
+        cfg = OptimizationConfig()
+        state = init_sharded(scene, cfg, mesh)
+        cams = [_cam(w=32, h=32, eye=(0.2 * i, 0, -5)) for i in range(2)]
+        gts = [jnp.zeros((32, 32, 3))] * 2
+        cam_batch, gt_batch = shard_camera_batch(mesh, cams, gts)
+        settings = RasterizeSettings(renderer="tiled", dup_capacity=1 << 11,
+                                     max_per_tile=64, chunk=16)
+        step = make_sharded_train_step(mesh, cfg, settings)
+        with mesh:
+            s1, loss1 = step(state, cam_batch, gt_batch, jnp.zeros(3))
+            s2, loss2 = step(s1, cam_batch, gt_batch, jnp.zeros(3))
+        assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+        assert float(loss2) < float(loss1)  # descending on a fixed batch
+        assert int(s2.step) == 2
