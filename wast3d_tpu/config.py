@@ -107,7 +107,7 @@ class StylizeConfig:
     w_domain: float = 3e1
     w_coverage: float = 0.0  # loss_domain_coverage weight (multi-cluster nb)
     merge_scale_factor: float = 0.885
-    ball_capacity: int = 4096  # static padded points per coverage ball
+    ball_capacity: int = 2048  # static padded points per coverage ball
     max_balls: int = 512  # static upper bound on coverage balls
 
 

@@ -45,7 +45,7 @@ class RasterizeSettings(NamedTuple):
     dup_capacity: int = 1 << 18
     max_per_tile: int = 1024
     chunk: int = 32
-    max_tiles_per_gaussian: int = 64
+    max_tiles_per_gaussian: int = 512
     pallas_interpret: bool = False
     phase_a_tiles: int = 8  # binning phase-A slots per gaussian
     big_budget_divisor: int = 16  # phase-B budget = N / divisor

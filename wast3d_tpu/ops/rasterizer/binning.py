@@ -81,7 +81,7 @@ def bin_gaussians(
     width: int,
     height: int,
     dup_capacity: int,
-    max_tiles_per_gaussian: int = 64,
+    max_tiles_per_gaussian: int = 512,
     phase_a_tiles: int = 8,
     big_budget_divisor: int = 16,
 ) -> Binning:
@@ -99,35 +99,29 @@ def bin_gaussians(
     rect_w = xmax - xmin
     tiles_touched = rect_w * (_ymax - ymin)
 
-    # 2. Two-phase emission budget.
+    # 2. Multi-phase emission budget: every Gaussian gets `phase_a_tiles`
+    # slots; progressively rarer big Gaussians (depth-ranked, cumsum
+    # selection - top_k at k ~ N/16 costs tens of ms) get progressively
+    # larger slot counts, up to max_tiles_per_gaussian for the rarest
+    # (screen-filling splats near the camera). Bounds the emission grid at
+    # ~1.5x the typical duplicate count while avoiding the visible tile
+    # truncation a single small budget causes.
     ra = min(phase_a_tiles, max_tiles_per_gaussian)
-    rb = max_tiles_per_gaussian - ra
-    n_big = max(256, n // big_budget_divisor)
-    n_big = min(n_big, n)
-    te_a = jnp.minimum(tiles_touched, ra)
-    if rb > 0 and n_big > 0:
-        # First-n_big big Gaussians in depth order via cumsum ranking
-        # (a top_k with k ~ N/16 costs tens of ms on TPU; this is O(N)).
-        wants_b = tiles_touched > ra
-        brank = jnp.cumsum(wants_b) - 1
-        is_big = wants_b & (brank < n_big)
-        # Rank -> sorted-order index table for the phase-B emission grid.
-        big_idx = jnp.zeros((n_big,), jnp.int32).at[
-            jnp.where(is_big, brank, n_big)
-        ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-        te_b = jnp.where(is_big, jnp.clip(tiles_touched - ra, 0, rb), 0)
-    else:
-        big_idx = jnp.zeros((1,), jnp.int32)
-        is_big = jnp.zeros((n,), bool)
-        te_b = jnp.zeros((n,), jnp.int32)
-    total = jnp.sum(te_a) + jnp.sum(te_b)
+    phases = [(0, ra, None)]  # (slots_start, slots, selection)
+    covered = ra
+    divisor = big_budget_divisor
+    while covered < max_tiles_per_gaussian:
+        extra = min(max_tiles_per_gaussian - covered, covered * 7)
+        budget = max(256, min(n, n // divisor))
+        phases.append((covered, extra, budget))
+        covered += extra
+        divisor *= 16
 
-    overflow = (
-        jnp.any((tiles_touched > ra) & ~is_big)
-        | jnp.any(tiles_touched > max_tiles_per_gaussian)
-    )
+    te = jnp.minimum(tiles_touched, ra)
+    overflow = jnp.any(tiles_touched > max_tiles_per_gaussian)
+    grids = []
 
-    def emission_grid(sel, r0, r_count):
+    def emission_grid(sel, r0, r_count, te_sel):
         """(tile_id, depth_rank) pairs for rect positions [r0, r0+r_count)
         of the selected (sorted-order) gaussians; invalid -> num_tiles."""
         r_idx = r0 + jnp.arange(r_count, dtype=jnp.int32)[None, :]
@@ -135,28 +129,39 @@ def bin_gaussians(
         tx = xmin[sel][:, None] + r_idx % rw
         ty = ymin[sel][:, None] + r_idx // rw
         tile_id = ty * grid_x + tx
-        valid = r_idx < (te_a[sel] + te_b[sel])[:, None]
+        valid = r_idx < te_sel[:, None]
         tile_id = jnp.where(valid, tile_id, num_tiles)
         rank = jnp.broadcast_to(sel[:, None], tile_id.shape)
         return tile_id.reshape(-1), rank.reshape(-1)
 
-    # 3. Sort the emission grid DIRECTLY with a (tile, depth-rank)
-    # two-key sort — no cumsum offsets, no scatters. The rank key restores
-    # exact within-tile depth order even across the phase-A/B segments.
     all_idx = jnp.arange(n, dtype=jnp.int32)
-    tile_a, rank_a = emission_grid(all_idx, 0, ra)
-    if rb > 0 and n_big > 0:
-        tile_b, rank_b = emission_grid(big_idx, ra, rb)
-        tiles_buf = jnp.concatenate([tile_a, tile_b])
-        ranks_buf = jnp.concatenate([rank_a, rank_b])
-    else:
-        tiles_buf, ranks_buf = tile_a, rank_a
+    grids.append(emission_grid(all_idx, 0, ra, te))
+    for start, extra, budget in phases[1:]:
+        wants = tiles_touched > start
+        prank = jnp.cumsum(wants) - 1
+        selected = wants & (prank < budget)
+        sel_idx = jnp.zeros((budget,), jnp.int32).at[
+            jnp.where(selected, prank, budget)
+        ].set(all_idx, mode="drop")
+        te_phase = jnp.where(
+            selected, jnp.clip(tiles_touched - start, 0, extra), 0
+        )
+        te = te + te_phase
+        overflow = overflow | jnp.any(wants & ~selected)
+        grids.append(emission_grid(sel_idx, start, extra, (te)[sel_idx]))
+    total = jnp.sum(te)
+
+    # 3. Sort the emission grid DIRECTLY with a (tile, depth-rank)
+    # two-key sort - no offset cumsums, no scatters. The rank key restores
+    # exact within-tile depth order across the emission phases.
+    tiles_buf = jnp.concatenate([g[0] for g in grids])
+    ranks_buf = jnp.concatenate([g[1] for g in grids])
     sorted_tile, sorted_rank = jax.lax.sort(
         (tiles_buf, ranks_buf), dimension=0, num_keys=2
     )
 
     # Valid entries sort to the FRONT (invalid carry tile == num_tiles), so
-    # the emission grid's 2x padding can be dropped with a static prefix
+    # the emission grid's padding can be dropped with a static prefix
     # slice: downstream gather/pack/blend scale with dup_capacity, not the
     # grid. dup_capacity <= 0 keeps the full grid.
     if 0 < dup_capacity < sorted_tile.shape[0]:

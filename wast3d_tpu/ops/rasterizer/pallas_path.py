@@ -37,7 +37,7 @@ def render_pallas(
     bg_color: jnp.ndarray,
     sampling_offsets: Optional[jnp.ndarray] = None,
     dup_capacity: int = 1 << 18,
-    max_tiles_per_gaussian: int = 64,
+    max_tiles_per_gaussian: int = 512,
     interpret: bool = False,
     phase_a_tiles: int = 8,
     big_budget_divisor: int = 16,

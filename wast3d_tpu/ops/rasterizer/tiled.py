@@ -69,7 +69,7 @@ def render_tiled(
     dup_capacity: int = 1 << 18,
     max_per_tile: int = 1024,
     chunk: int = 32,
-    max_tiles_per_gaussian: int = 64,
+    max_tiles_per_gaussian: int = 512,
 ) -> RenderOutput:
     """Rasterize preprocessed Gaussians. All capacities static."""
     grid_x, grid_y = tile_grid(width, height)

@@ -40,9 +40,15 @@ def stylize_scene(
     seed: int = 0,
     batch_size: int = 8,
     verbose: bool = False,
-    max_style_points: Optional[int] = 4096,
+    max_style_points: Optional[int] = 2048,
 ) -> GaussianScene:
-    """Content scene + style patch -> stylized scene."""
+    """Content scene + style patch -> stylized scene.
+
+    Memory note: the dense descriptor loss materializes a few
+    [batch, M, max(M, ball_capacity)] f32 temporaries per step
+    (M = patch points). batch*M^2*4B*~6 must fit HBM: 8 x 2048^2 is
+    ~800MB; 8 x 4096^2 (~3.2GB+) overflows a 16GB chip once the domain
+    cdist joins - prefer smaller batches at M >= 4096."""
     t0 = time.time()
     mask = np.asarray(content.mask)
     content_xyz = np.asarray(content.xyz)[mask]

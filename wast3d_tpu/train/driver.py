@@ -64,17 +64,24 @@ def train_scene(
     save_iterations = sorted(set(save_iterations or [7_000, 30_000]))
     checkpoint_iterations = sorted(set(checkpoint_iterations or []))
     opt_cfg = opt_cfg or OptimizationConfig(iterations=iterations)
-    settings = settings or raster_api.RasterizeSettings()
+    # Production default: the Pallas kernel path with generous duplicate
+    # capacity; the XLA 'tiled' path is the test/CPU fallback.
+    settings = settings or raster_api.RasterizeSettings(
+        renderer="pallas", dup_capacity=1 << 21
+    )
 
     info = load_scene_info(source_path, images, white_background, eval_split)
     cameras_extent = info.nerf_normalization["radius"]
     train_cams = build_cameras(info.train_cameras, resolution)
     test_cams = build_cameras(info.test_cameras, resolution)
 
+    n_init = len(info.point_cloud.points)
     scene = from_point_cloud(
         np.asarray(info.point_cloud.points, np.float32),
         np.asarray(info.point_cloud.colors, np.float32),
         max_sh_degree=sh_degree,
+        # 2x headroom delays the first capacity-growth recompile.
+        capacity=-(-2 * n_init // 256) * 256,
     )
     state = init_train_state(scene, opt_cfg, spatial_lr_scale=cameras_extent)
     start_iter = 0

@@ -163,6 +163,9 @@ class Trainer:
         self.gui = gui  # optional viewer.network_gui.NetworkGUI
         self._camera_order = []
         self.history = []
+        self._it = int(self.state.step)  # host-side mirror (device reads
+        # cost a ~30ms tunnel round-trip each on this TPU)
+        self._white_bg = bool(np.all(np.asarray(self.bg_color) == 1.0))
 
     def _next_camera(self):
         """Random-without-replacement camera stack (reference
@@ -175,7 +178,9 @@ class Trainer:
         scene = self.state.scene
         fill = float(np.asarray(scene.num_active)) / scene.capacity
         if fill > self.grow_threshold:
-            new_cap = scene.capacity * 2
+            # Grow 4x: every new capacity recompiles the train step, which
+            # costs minutes on the remote TPU compiler - amortize hard.
+            new_cap = scene.capacity * 4
             scene = grow_capacity(scene, new_cap)
 
             def pad_rows(t):
@@ -195,7 +200,8 @@ class Trainer:
     def run(self, iterations: int, log_every: int = 0):
         cfg = self.opt_cfg
         for _ in range(iterations):
-            it = int(self.state.step) + 1  # 1-based like the reference
+            it = self._it + 1  # 1-based like the reference
+            self._it = it
             if self.gui is not None:
                 # Serve one live-view frame per iteration (reference polls
                 # the GUI socket at the top of the loop, train.py:57-70).
@@ -236,7 +242,7 @@ class Trainer:
                 if it % cfg.opacity_reset_interval == 0 or (
                     # white-bg models also reset right when densification
                     # starts (`train.py:146-147`)
-                    bool(jnp.all(self.bg_color == 1.0)) and it == cfg.densify_from_iter
+                    self._white_bg and it == cfg.densify_from_iter
                 ):
                     scene, opt = reset_opacity_jit(
                         self.state.scene, self.state.opt_state
