@@ -1,0 +1,99 @@
+"""Binning multi-phase emission: coverage, ordering, capacity semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wast3d_tpu.ops.rasterizer import binning as bm
+
+
+def _bin(means2d, depths, radii, w=800, h=800, **kw):
+    return bm.bin_gaussians(
+        jnp.asarray(means2d, jnp.float32), jnp.asarray(depths, jnp.float32),
+        jnp.asarray(radii, jnp.int32), w, h, dup_capacity=kw.pop("cap", 0), **kw
+    )
+
+
+class TestPhases:
+    def test_small_splats_fully_covered(self):
+        rng = np.random.default_rng(0)
+        n = 256
+        means = rng.uniform(50, 750, (n, 2))
+        radii = np.full(n, 10)  # rect <= 4 tiles
+        b = _bin(means, rng.uniform(1, 5, n), radii)
+        assert not bool(b.overflow)
+        # Each splat lands in 1..9 tiles (r=10 can straddle 3 tile rows).
+        total = int(b.num_duplicates)
+        assert n <= total <= 9 * n  # r=10 spans up to 3x3 tiles
+
+    def test_huge_splat_gets_full_rect(self):
+        # One screen-filling splat among small ones: with the phase ladder
+        # it covers its whole rect (up to the 512-tile ceiling).
+        n = 256
+        rng = np.random.default_rng(1)
+        means = rng.uniform(100, 700, (n, 2))
+        radii = np.full(n, 8)
+        means[0] = [400, 400]
+        radii[0] = 180  # rect ~ (2*180/16)^2 ~ 23x23 = 529 > 512 -> overflow
+        b = _bin(means, rng.uniform(1, 5, n), radii)
+        assert bool(b.overflow)  # exceeds the default ceiling -> flagged
+        b2 = _bin(means, rng.uniform(1, 5, n), radii,
+                  max_tiles_per_gaussian=4096)
+        assert not bool(b2.overflow)
+        # The big splat contributes its whole rect.
+        assert int(b2.num_duplicates) >= 500
+
+    def test_depth_order_within_tile_across_phases(self):
+        # A big splat (phase B) nearer than small splats (phase A) in the
+        # same tile must come FIRST in the tile's list.
+        means = np.array([[100.0, 100.0], [100.0, 100.0], [104.0, 104.0]])
+        radii = np.array([60, 5, 5])  # splat 0 is big (rect > 8 tiles)
+        depths = np.array([1.0, 2.0, 3.0])  # big one nearest
+        b = _bin(means, depths, radii, w=320, h=320)
+        tile = (100 // 16) * 20 + (100 // 16)
+        s, e = int(b.tile_start[tile]), int(b.tile_end[tile])
+        entries = np.asarray(b.gauss_idx[s:e])
+        assert list(entries) == [0, 1, 2]  # depth order preserved
+
+    def test_capacity_prefix_slice(self):
+        rng = np.random.default_rng(2)
+        n = 512
+        means = rng.uniform(50, 750, (n, 2))
+        radii = np.full(n, 20)
+        depths = rng.uniform(1, 5, n)
+        full = _bin(means, depths, radii)
+        total = int(full.num_duplicates)
+        capped = _bin(means, depths, radii, cap=total // 2)
+        assert bool(capped.overflow)
+        assert capped.gauss_idx.shape[0] == total // 2
+        # The retained prefix matches the uncapped result.
+        np.testing.assert_array_equal(
+            np.asarray(capped.gauss_idx),
+            np.asarray(full.gauss_idx[: total // 2]),
+        )
+
+    def test_matches_oracle_rect_membership(self):
+        # Every (gaussian, tile) pair in the lists is inside the gaussian's
+        # rect, and every in-rect pair is present (no ceiling hit).
+        rng = np.random.default_rng(3)
+        n = 64
+        means = rng.uniform(40, 280, (n, 2))
+        radii = rng.integers(4, 40, n)
+        depths = rng.uniform(1, 5, n)
+        b = _bin(means, depths, radii, w=320, h=320)
+        assert not bool(b.overflow)
+        gx, gy = bm.tile_grid(320, 320)
+        xmin, ymin, xmax, ymax = (np.asarray(v) for v in bm.compute_rects(
+            jnp.asarray(means, jnp.float32), jnp.asarray(radii, jnp.int32), gx, gy))
+        expected = set()
+        for i in range(n):
+            for ty in range(ymin[i], ymax[i]):
+                for tx in range(xmin[i], xmax[i]):
+                    expected.add((i, ty * gx + tx))
+        got = set()
+        starts, ends = np.asarray(b.tile_start), np.asarray(b.tile_end)
+        gauss = np.asarray(b.gauss_idx)
+        for t in range(gx * gy):
+            for k in range(starts[t], ends[t]):
+                got.add((int(gauss[k]), t))
+        assert got == expected

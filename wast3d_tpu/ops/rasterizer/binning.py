@@ -140,15 +140,21 @@ def bin_gaussians(
         wants = tiles_touched > start
         prank = jnp.cumsum(wants) - 1
         selected = wants & (prank < budget)
-        sel_idx = jnp.zeros((budget,), jnp.int32).at[
+        # Rank -> row table. Unfilled slots MUST be invalid (a default of
+        # row 0 would re-emit row 0's rect once per empty slot when row 0
+        # is itself selected): mark them -1 and zero their slot budget.
+        sel_idx = jnp.full((budget,), -1, jnp.int32).at[
             jnp.where(selected, prank, budget)
         ].set(all_idx, mode="drop")
+        slot_live = sel_idx >= 0
+        sel_safe = jnp.maximum(sel_idx, 0)
         te_phase = jnp.where(
             selected, jnp.clip(tiles_touched - start, 0, extra), 0
         )
         te = te + te_phase
         overflow = overflow | jnp.any(wants & ~selected)
-        grids.append(emission_grid(sel_idx, start, extra, (te)[sel_idx]))
+        te_sel = jnp.where(slot_live, te[sel_safe], 0)
+        grids.append(emission_grid(sel_safe, start, extra, te_sel))
     total = jnp.sum(te)
 
     # 3. Sort the emission grid DIRECTLY with a (tile, depth-rank)

@@ -200,116 +200,136 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
 def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
                 dzero_hbm, dout_hbm, data_vmem, dout_vmem, state_vmem,
                 sem, isem, osem):
-    """Backward walk with read-modify-write accumulation (see module doc).
+    """Backward walk with read-modify-write accumulation (see module doc),
+    TPP tiles per program and double-buffered input DMA.
 
     state_vmem cols: 0 = logT, 1 = done, 2 = prefix (each (P, 1))."""
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    end = ends_ref[t]
-    px = pixf_ref[0, :, 0:1]  # (P,1)
-    py = pixf_ref[0, :, 1:2]
-    gcr = grads_ref[0, :, 0:1]
-    gcg = grads_ref[0, :, 1:2]
-    gcb = grads_ref[0, :, 2:3]
-    gd = grads_ref[0, :, 3:4]
-    s_total = grads_ref[0, :, 5:6]
-    astart = (start // G) * G
-    nchunks = pl.cdiv(jnp.maximum(end - astart, 0), G)
+    prog = pl.program_id(0)
 
-    state_vmem[:, :] = jnp.zeros((P, 4), jnp.float32)
+    def one_tile(ti, _):
+        t = prog * TPP + ti
+        start = starts_ref[t]
+        end = ends_ref[t]
+        px = pixf_ref[ti, :, 0:1]  # (P,1)
+        py = pixf_ref[ti, :, 1:2]
+        gcr = grads_ref[ti, :, 0:1]
+        gcg = grads_ref[ti, :, 1:2]
+        gcb = grads_ref[ti, :, 2:3]
+        gd = grads_ref[ti, :, 3:4]
+        s_total = grads_ref[ti, :, 5:6]
+        astart = (start // G) * G
+        nchunks = pl.cdiv(jnp.maximum(end - astart, 0), G)
 
-    def body(c, _):
-        off = astart + c * G
-        done = state_vmem[:, 1:2]
-        active = jnp.min(done) < 0.5
+        state_vmem[:, :] = jnp.zeros((P, 4), jnp.float32)
 
-        @pl.when(active)
+        def in_dma(slot, c):
+            return pltpu.make_async_copy(
+                data_hbm.at[:, pl.ds(astart + c * G, G)],
+                data_vmem.at[slot], sem.at[slot],
+            )
+
+        @pl.when(nchunks > 0)
         def _():
-            copy = pltpu.make_async_copy(
-                data_hbm.at[:, pl.ds(off, G)], data_vmem, sem
-            )
-            copy.start()
-            copy.wait()
-            data = data_vmem[:, :]
-            logT = state_vmem[:, 0:1]
-            prefix = state_vmem[:, 2:3]
-            alpha, T_prev, done_incl, w, trig = _chunk_quantities(
-                data, px, py, logT, done, start, end, off
-            )
+            in_dma(0, 0).start()
 
-            # q[p,g] = gc . rgb_g + gd * depth_g
-            q = (
-                data[R_R:R_R + 1, :] * gcr
-                + data[R_G:R_G + 1, :] * gcg
-                + data[R_B2:R_B2 + 1, :] * gcb
-                + data[R_DEPTH:R_DEPTH + 1, :] * gd
-            )  # (P,G)
-            qw = q * w
-            prefix_incl = prefix + jax.lax.dot(
-                qw, _tri_incl_upper(), precision=_HIGH
-            )
-            live = w > 0.0
-            one_m = 1.0 - alpha
-            dalpha = jnp.where(
-                live, q * T_prev - (s_total - prefix_incl) / one_m, 0.0
-            )
+        def body(c, _):
+            off = astart + c * G
+            done = state_vmem[:, 1:2]
+            active = jnp.min(done) < 0.5
+            slot = jax.lax.rem(c, 2)
 
-            opa = data[R_OPA:R_OPA + 1, :]
-            # alpha = min(0.99, opa * exp(power)); the clamp zeroes the grad.
-            unclamped = (alpha < ALPHA_MAX) & live
-            exp_pow = jnp.where(opa > 0.0, alpha / opa, 0.0)
-            dopa = jnp.sum(jnp.where(unclamped, dalpha * exp_pow, 0.0),
-                           axis=0, keepdims=True)  # (1,G)
-            dpow = jnp.where(unclamped, dalpha * alpha, 0.0)
+            @pl.when(c + 1 < nchunks)
+            def _():
+                in_dma(1 - slot, c + 1).start()
 
-            A = data[R_A:R_A + 1, :]
-            B = data[R_B:R_B + 1, :]
-            CC = data[R_CC:R_CC + 1, :]
-            mx = data[R_MX:R_MX + 1, :]
-            my = data[R_MY:R_MY + 1, :]
-            dx = mx - px
-            dy = my - py
-            dmx = jnp.sum(dpow * (-A * dx - B * dy), axis=0, keepdims=True)
-            dmy = jnp.sum(dpow * (-CC * dy - B * dx), axis=0, keepdims=True)
-            dA = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
-            dB = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
-            dC = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
-            ddepth = jnp.sum(w * gd, axis=0, keepdims=True)
-            dr = jnp.sum(w * gcr, axis=0, keepdims=True)
-            dg = jnp.sum(w * gcg, axis=0, keepdims=True)
-            db = jnp.sum(w * gcb, axis=0, keepdims=True)
+            in_dma(slot, c).wait()
 
-            zero = jnp.zeros((1, G), jnp.float32)
-            dgrad = jnp.concatenate(
-                [dmx, dmy, dA, dB, dC, dopa, ddepth, dr, dg, db,
-                 zero, zero, zero, zero, zero, zero], axis=0
-            )  # (16,G)
+            @pl.when(active)
+            def _():
+                data = data_vmem[slot]
+                logT = state_vmem[:, 0:1]
+                prefix = state_vmem[:, 2:3]
+                alpha, T_prev, done_incl, w, trig = _chunk_quantities(
+                    data, px, py, logT, done, start, end, off
+                )
 
-            # Read-modify-write: accumulate into the shared boundary window.
-            icopy = pltpu.make_async_copy(
-                dout_hbm.at[:, pl.ds(off, G)], dout_vmem, isem
-            )
-            icopy.start()
-            icopy.wait()
-            dout_vmem[:, :] = dout_vmem[:, :] + dgrad
-            ocopy = pltpu.make_async_copy(
-                dout_vmem, dout_hbm.at[:, pl.ds(off, G)], osem
-            )
-            ocopy.start()
-            ocopy.wait()
+                # q[p,g] = gc . rgb_g + gd * depth_g
+                q = (
+                    data[R_R:R_R + 1, :] * gcr
+                    + data[R_G:R_G + 1, :] * gcg
+                    + data[R_B2:R_B2 + 1, :] * gcb
+                    + data[R_DEPTH:R_DEPTH + 1, :] * gd
+                )  # (P,G)
+                qw = q * w
+                prefix_incl = prefix + jax.lax.dot(
+                    qw, _tri_incl_upper(), precision=_HIGH
+                )
+                live = w > 0.0
+                one_m = 1.0 - alpha
+                dalpha = jnp.where(
+                    live, q * T_prev - (s_total - prefix_incl) / one_m, 0.0
+                )
 
-            contributed = jnp.where(done_incl, 0.0, alpha)
-            state_vmem[:, 0:1] = logT + jnp.sum(
-                jnp.log1p(-contributed), axis=1, keepdims=True
-            )
-            state_vmem[:, 1:2] = jnp.maximum(
-                done, jnp.max(trig, axis=1, keepdims=True)
-            )
-            state_vmem[:, 2:3] = prefix + jnp.sum(qw, axis=1, keepdims=True)
+                opa = data[R_OPA:R_OPA + 1, :]
+                # alpha = min(0.99, opa*exp(power)); clamp kills the grad.
+                unclamped = (alpha < ALPHA_MAX) & live
+                exp_pow = jnp.where(opa > 0.0, alpha / opa, 0.0)
+                dopa = jnp.sum(jnp.where(unclamped, dalpha * exp_pow, 0.0),
+                               axis=0, keepdims=True)  # (1,G)
+                dpow = jnp.where(unclamped, dalpha * alpha, 0.0)
 
+                A = data[R_A:R_A + 1, :]
+                B = data[R_B:R_B + 1, :]
+                CC = data[R_CC:R_CC + 1, :]
+                mx = data[R_MX:R_MX + 1, :]
+                my = data[R_MY:R_MY + 1, :]
+                dx = mx - px
+                dy = my - py
+                dmx = jnp.sum(dpow * (-A * dx - B * dy), axis=0, keepdims=True)
+                dmy = jnp.sum(dpow * (-CC * dy - B * dx), axis=0, keepdims=True)
+                dA = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
+                dB = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
+                dC = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
+                ddepth = jnp.sum(w * gd, axis=0, keepdims=True)
+                dr = jnp.sum(w * gcr, axis=0, keepdims=True)
+                dg = jnp.sum(w * gcg, axis=0, keepdims=True)
+                db = jnp.sum(w * gcb, axis=0, keepdims=True)
+
+                zero = jnp.zeros((1, G), jnp.float32)
+                dgrad = jnp.concatenate(
+                    [dmx, dmy, dA, dB, dC, dopa, ddepth, dr, dg, db,
+                     zero, zero, zero, zero, zero, zero], axis=0
+                )  # (16,G)
+
+                # Read-modify-write: accumulate into the shared boundary
+                # window (tiles processed in order; TPU grid is sequential).
+                icopy = pltpu.make_async_copy(
+                    dout_hbm.at[:, pl.ds(off, G)], dout_vmem, isem
+                )
+                icopy.start()
+                icopy.wait()
+                dout_vmem[:, :] = dout_vmem[:, :] + dgrad
+                ocopy = pltpu.make_async_copy(
+                    dout_vmem, dout_hbm.at[:, pl.ds(off, G)], osem
+                )
+                ocopy.start()
+                ocopy.wait()
+
+                contributed = jnp.where(done_incl, 0.0, alpha)
+                state_vmem[:, 0:1] = logT + jnp.sum(
+                    jnp.log1p(-contributed), axis=1, keepdims=True
+                )
+                state_vmem[:, 1:2] = jnp.maximum(
+                    done, jnp.max(trig, axis=1, keepdims=True)
+                )
+                state_vmem[:, 2:3] = prefix + jnp.sum(qw, axis=1, keepdims=True)
+
+            return _
+
+        jax.lax.fori_loop(0, nchunks, body, None)
         return _
 
-    jax.lax.fori_loop(0, nchunks, body, None)
+    jax.lax.fori_loop(0, TPP, one_tile, None)
 
 
 def _blend_fwd_impl(packed, pixf, starts, ends, *, num_tiles, interpret):
@@ -353,16 +373,23 @@ def _blend_fwd_impl(packed, pixf, starts, ends, *, num_tiles, interpret):
 def _blend_bwd_impl(packed, pixf, starts, ends, grads, *, num_tiles, interpret):
     K = packed.shape[1]
     dzeros = jnp.zeros((NROWS, K), jnp.float32)
+    num_progs = -(-num_tiles // TPP)
+    nt_pad = num_progs * TPP
+    if nt_pad != num_tiles:
+        pixf = jnp.pad(pixf, ((0, nt_pad - num_tiles), (0, 0), (0, 0)))
+        grads = jnp.pad(grads, ((0, nt_pad - num_tiles), (0, 0), (0, 0)))
+        starts = jnp.pad(starts, (0, nt_pad - num_tiles))
+        ends = jnp.pad(ends, (0, nt_pad - num_tiles))
     dpacked = pl.pallas_call(
         _bwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(num_tiles,),
+            grid=(num_progs,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # packed
-                pl.BlockSpec((1, P, 2), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((TPP, P, 2), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((TPP, P, 8), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),  # dzeros (aliased out)
             ],
@@ -370,10 +397,10 @@ def _blend_bwd_impl(packed, pixf, starts, ends, grads, *, num_tiles, interpret):
                 pl.BlockSpec(memory_space=pl.ANY),  # dpacked (manual DMA)
             ],
             scratch_shapes=[
-                pltpu.VMEM((NROWS, G), jnp.float32),
+                pltpu.VMEM((2, NROWS, G), jnp.float32),
                 pltpu.VMEM((NROWS, G), jnp.float32),
                 pltpu.VMEM((P, 4), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],
