@@ -40,20 +40,23 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def _depthwise_blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Separable same-padded Gaussian filter on [H, W, C]."""
-    c = img.shape[-1]
-    x = img[None]  # [1,H,W,C]
-    # Depthwise separable conv via feature_group_count = C.
-    k_col = jnp.tile(window[:, None, None, None], (1, 1, 1, c))  # [K,1,1,C]
-    k_row = jnp.tile(window[None, :, None, None], (1, 1, 1, c))  # [1,K,1,C]
-    dn = jax.lax.conv_dimension_numbers(x.shape, k_col.shape, ("NHWC", "HWIO", "NHWC"))
-    x = jax.lax.conv_general_dilated(
-        x, k_col, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c
-    )
-    x = jax.lax.conv_general_dilated(
-        x, k_row, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c
-    )
-    return x[0]
+    """Separable same-(zero-)padded Gaussian filter on [H, W, C].
+
+    Implemented as unrolled shift-and-add (11 slices per axis) instead of a
+    grouped convolution: this environment's TPU backend miscompiles the
+    feature_group_count conv VJP (finite differences showed wrong-sign
+    SSIM gradients on TPU while CPU was exact), and slicing/add VJPs are
+    trivially correct on every backend. XLA fuses the unrolled adds."""
+    k = window.shape[0]
+    r = k // 2
+    h, w = img.shape[0], img.shape[1]
+    x = jnp.pad(img, ((r, r), (0, 0), (0, 0)))
+    out = sum(window[i] * jax.lax.dynamic_slice_in_dim(x, i, h, 0)
+              for i in range(k))
+    x = jnp.pad(out, ((0, 0), (r, r), (0, 0)))
+    out = sum(window[i] * jax.lax.dynamic_slice_in_dim(x, i, w, 1)
+              for i in range(k))
+    return out
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,

@@ -114,17 +114,12 @@ class LPIPS:
             kind = spec[1]
             if kind == "conv":
                 idx = spec[0]
-                w = jnp.transpose(
-                    jnp.asarray(self.params[f"features.{idx}.weight"]), (2, 3, 1, 0)
+                from wast3d_tpu.ops.vgg import conv3x3_shift_matmul
+
+                x = conv3x3_shift_matmul(
+                    x, jnp.asarray(self.params[f"features.{idx}.weight"]),
+                    jnp.asarray(self.params[f"features.{idx}.bias"]),
                 )
-                b = jnp.asarray(self.params[f"features.{idx}.bias"])
-                dn = jax.lax.conv_dimension_numbers(
-                    x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
-                )
-                x = jax.lax.conv_general_dilated(
-                    x, w, (1, 1), "SAME", dimension_numbers=dn,
-                    preferred_element_type=jnp.float32,
-                ) + b
             elif kind == "relu":
                 x = jax.nn.relu(x)
                 if spec[0] in _CAPTURE_RELU:

@@ -21,7 +21,7 @@ well-defined feature-space objectives (random VGG features are an
 established perceptual-loss fallback), and the interface is unchanged
 once real weights are supplied.
 
-The conv stack is plain lax convolutions — XLA maps them to the MXU.
+The conv stack is 3x3 shift-matmul convolutions (MXU contractions).
 """
 
 from __future__ import annotations
@@ -93,6 +93,32 @@ def load_weights(path: Optional[str] = None, seed: int = 0) -> dict:
     return params
 
 
+def conv3x3_shift_matmul(x: jnp.ndarray, w_oihw: jnp.ndarray,
+                         b: jnp.ndarray) -> jnp.ndarray:
+    """SAME-padded 3x3 conv as 9 shifted [.., Cin] @ [Cin, Cout] matmuls.
+
+    Two reasons over `lax.conv_general_dilated`: (a) defensive correctness
+    on this environment's TPU backend, whose grouped/depthwise conv VJP is
+    provably miscompiled (see ops/image_losses._depthwise_blur; standard
+    conv VJPs passed descent checks but slice+matmul VJPs are beyond
+    suspicion), and (b) the contraction runs as plain MXU matmuls."""
+    h, w = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            patch = jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_slice_in_dim(xp, dy, h, 1), dx, w, 2
+            )
+            wk = w_oihw[:, :, dy, dx].T  # [Cin, Cout]
+            term = jax.lax.dot_general(
+                patch, wk, (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = term if out is None else out + term
+    return out + b
+
+
 def vgg_features(params: dict, image: jnp.ndarray,
                  capture: Sequence[int] = CAPTURE_LAYERS) -> List[jnp.ndarray]:
     """Run the conv stack on [H, W, 3] (or [B, H, W, 3]) in [0, 1].
@@ -107,14 +133,7 @@ def vgg_features(params: dict, image: jnp.ndarray,
             idx = spec[0]
             w = jnp.asarray(params[f"features.{idx}.weight"])  # [O,I,3,3]
             b = jnp.asarray(params[f"features.{idx}.bias"])
-            w = jnp.transpose(w, (2, 3, 1, 0))  # HWIO
-            dn = jax.lax.conv_dimension_numbers(
-                x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
-            )
-            x = jax.lax.conv_general_dilated(
-                x, w, (1, 1), "SAME", dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-            ) + b
+            x = conv3x3_shift_matmul(x, w, b)
             if idx in capture:
                 feats.append(x)
         elif kind == "relu":

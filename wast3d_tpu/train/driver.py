@@ -59,6 +59,7 @@ def train_scene(
     quiet: bool = False,
     log_every: int = 100,
     gui=None,
+    jitter: bool = True,
 ):
     """Train one scene. Returns the final Trainer (with .state)."""
     save_iterations = sorted(set(save_iterations or [7_000, 30_000]))
@@ -105,7 +106,7 @@ def train_scene(
         state, train_cams, opt_cfg=opt_cfg, settings=settings,
         spatial_lr_scale=cameras_extent, cameras_extent=cameras_extent,
         sphere_cfg=sphere_cfg, seed=seed, white_background=white_background,
-        gui=gui,
+        gui=gui, jitter=jitter,
     )
 
     bg = trainer.bg_color
