@@ -185,3 +185,34 @@ class TestLR:
     def test_disabled(self):
         sched = expon_lr(0.0, 0.0)
         assert float(sched(10)) == 0.0
+
+
+def test_camera_identity_does_not_change_treedef():
+    """Cameras with different uid/name must share one jit treedef —
+    otherwise every COLMAP viewpoint recompiles the train step
+    (advisor finding r1: Camera.uid/name were static pytree fields)."""
+    import jax
+
+    from wast3d_tpu.core.camera import look_at_camera
+
+    a = look_at_camera(eye=[0, 0, -4], target=[0, 0, 0], up=[0, -1, 0],
+                       fovx=0.9, fovy=0.9, width=32, height=32,
+                       uid=1, name="im_0001")
+    b = look_at_camera(eye=[1, 0, -4], target=[0, 0, 0], up=[0, -1, 0],
+                       fovx=0.9, fovy=0.9, width=32, height=32,
+                       uid=2, name="im_0002")
+    ta = jax.tree.structure(a)
+    tb = jax.tree.structure(b)
+    assert ta == tb
+
+    n_traces = 0
+
+    @jax.jit
+    def f(cam):
+        nonlocal n_traces
+        n_traces += 1
+        return cam.camera_center * 2.0
+
+    f(a)
+    f(b)
+    assert n_traces == 1

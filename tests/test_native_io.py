@@ -78,3 +78,21 @@ class TestNative:
         store_ply_points(path, rng.normal(size=(10, 3)), rng.uniform(0, 255, (10, 3)))
         # uchar colors -> fast path politely declines
         assert native.read_ply_f32(path) is None
+
+    @requires_native
+    def test_header_comment_containing_end_header(self, tmp_path):
+        """A comment line mentioning 'end_header' must not truncate the
+        header scan (advisor finding r1: rfind substring match)."""
+        data = np.arange(12, dtype=np.float32).reshape(4, 3)
+        hdr = ("ply\nformat binary_little_endian 1.0\n"
+               "comment see end_header docs\n"
+               "element vertex 4\n"
+               "property float x\nproperty float y\nproperty float z\n"
+               "end_header\n")
+        path = str(tmp_path / "c.ply")
+        with open(path, "wb") as f:
+            f.write(hdr.encode())
+            f.write(data.tobytes())
+        out, rows, cols = native.read_ply_f32(path)
+        assert rows == 4 and cols == 3
+        np.testing.assert_allclose(np.asarray(out).reshape(4, 3), data)

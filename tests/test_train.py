@@ -300,3 +300,51 @@ class TestEndToEnd:
         iso1 = float(SP.scaling_isotropy_loss(trainer.state.scene.scaling,
                                               trainer.state.scene.mask))
         assert iso1 < 0.5 * iso0
+
+class TestTrainerGrowthHandling:
+    """Round-2 fixes: silent overflow / dropped densify candidates must be
+    surfaced and auto-handled by the host loop (advisor + verdict r1)."""
+
+    def _tiny_setup(self, dup_capacity, cap=128, n=100):
+        import wast3d_tpu.train.reconstruct as R
+        from wast3d_tpu.config import OptimizationConfig
+        from wast3d_tpu.core.camera import look_at_camera
+        from wast3d_tpu.ops.rasterizer import api
+
+        scene = _mini_scene(n=n, cap=cap)
+        cam = look_at_camera(eye=[0, 0, -4], target=[0, 0, 0], up=[0, -1, 0],
+                             fovx=0.9, fovy=0.9, width=32, height=32)
+        gt = jnp.ones((32, 32, 3), jnp.float32) * 0.5
+        cfg = OptimizationConfig(
+            densify_from_iter=1, densify_until_iter=1000,
+            densification_interval=2, opacity_reset_interval=10000,
+            densify_grad_threshold=1e-9,  # everything densifies
+        )
+        settings = api.RasterizeSettings(
+            renderer="tiled", dup_capacity=dup_capacity, max_per_tile=64,
+            chunk=16,
+        )
+        tr = R.Trainer(
+            R.init_train_state(scene, cfg, 1.0), [(cam, gt)],
+            opt_cfg=cfg, settings=settings, cameras_extent=1.0,
+        )
+        return tr
+
+    def test_dup_capacity_overflow_grows(self):
+        # dup_capacity far too small for 100 gaussians covering the frame:
+        # the trainer must detect aux["overflow"] and double dup_capacity.
+        tr = self._tiny_setup(dup_capacity=16)
+        tr.run(4)
+        grow_events = [h for h in tr.history if h.get("event") == "dup_capacity_grow"]
+        assert grow_events, "overflow never surfaced/handled"
+        assert tr.settings.dup_capacity > 16
+
+    def test_dropped_densify_grows_and_retries(self):
+        # Fill below the 75% pre-grow threshold (so _maybe_grow stays
+        # quiet) but with a clone/split burst larger than free capacity:
+        # the first densify call must report drops -> grow + retry.
+        tr = self._tiny_setup(dup_capacity=1 << 12, cap=144, n=100)
+        tr.run(4)
+        retry_events = [h for h in tr.history if h.get("event") == "capacity_grow_retry"]
+        assert retry_events, "dropped candidates were silently discarded"
+        assert tr.state.scene.capacity > 144

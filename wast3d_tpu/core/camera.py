@@ -84,8 +84,14 @@ class Camera:
     height: int = struct.field(pytree_node=False, default=0)
     # Optional ground-truth image [H,W,3] in [0,1] for training.
     image: Optional[jnp.ndarray] = None
-    uid: int = struct.field(pytree_node=False, default=0)
-    name: str = struct.field(pytree_node=False, default="")
+    # NOTE: camera identity (uid / image name, reference
+    # `scene/cameras.py:27-30`) is deliberately NOT on this pytree. Static
+    # aux fields participate in the treedef, so a per-camera uid would give
+    # every viewpoint a distinct treedef and recompile every jitted
+    # render/train step once per camera (hundreds of multi-minute TPU
+    # compiles on a real COLMAP scene). Identity lives host-side in
+    # `scene/datasets.py:CameraInfo` (uid/image_name), which callers keep
+    # alongside the Camera list they build from it.
 
     @property
     def tan_fovx(self) -> jnp.ndarray:
@@ -121,7 +127,11 @@ def make_camera(
 ) -> Camera:
     """Build a Camera like the reference `Camera.__init__`
     (`scene/cameras.py:17-57`): znear/zfar default 0.01/100, transposed
-    matrix products, camera center from the inverse view transform."""
+    matrix products, camera center from the inverse view transform.
+
+    `uid`/`name` are accepted for reference-API parity but are NOT stored
+    on the returned pytree (they would poison the jit treedef — see the
+    Camera docstring); callers needing identity keep it host-side."""
     w2v = world_to_view(R, t, translate, scale)
     view_t = w2v.T
     proj_t = projection_matrix(znear, zfar, fovx, fovy).T
@@ -141,8 +151,6 @@ def make_camera(
         width=int(width),
         height=int(height),
         image=img,
-        uid=uid,
-        name=name,
     )
 
 

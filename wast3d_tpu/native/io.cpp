@@ -27,19 +27,25 @@ int w3d_read_ply_f32(const char* path, float* out, int64_t max_floats,
   if (!f) return -1;
   std::string header;
   header.reserve(1 << 16);
-  // Read header up to end_header newline.
+  // Read header line by line; terminate only on a line that IS exactly
+  // "end_header" (not a substring match — a comment mentioning
+  // end_header must not truncate the scan; mirrors scene/ply.py).
   int c;
-  const char* endtok = "end_header";
-  while ((c = fgetc(f)) != EOF) {
+  size_t line_start = 0;
+  bool done = false;
+  while (!done && (c = fgetc(f)) != EOF) {
     header.push_back(static_cast<char>(c));
     if (c == '\n') {
-      size_t pos = header.rfind(endtok);
-      if (pos != std::string::npos &&
-          header.find('\n', pos) != std::string::npos)
-        break;
+      size_t line_end = header.size() - 1;  // exclude '\n'
+      if (line_end > line_start && header[line_end - 1] == '\r') line_end--;
+      if (header.compare(line_start, line_end - line_start, "end_header") == 0 &&
+          line_end - line_start == 10)
+        done = true;
+      line_start = header.size();
     }
     if (header.size() > (1u << 20)) { fclose(f); return -2; }
   }
+  if (!done) { fclose(f); return -2; }
   if (header.find("format binary_little_endian") == std::string::npos) {
     fclose(f);
     return -2;

@@ -146,6 +146,8 @@ def render(
             max_per_tile=settings.max_per_tile,
             chunk=settings.chunk,
             max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+            phase_a_tiles=settings.phase_a_tiles,
+            big_budget_divisor=settings.big_budget_divisor,
         )
         color, depth, final_T, overflow = out
 

@@ -58,7 +58,8 @@ def _tile_pixel_coords(grid_x: int, grid_y: int) -> Tuple[jnp.ndarray, jnp.ndarr
 @partial(
     jax.jit,
     static_argnames=("width", "height", "dup_capacity", "max_per_tile", "chunk",
-                     "max_tiles_per_gaussian"),
+                     "max_tiles_per_gaussian", "phase_a_tiles",
+                     "big_budget_divisor"),
 )
 def render_tiled(
     prep: Preprocessed,
@@ -70,6 +71,8 @@ def render_tiled(
     max_per_tile: int = 1024,
     chunk: int = 32,
     max_tiles_per_gaussian: int = 512,
+    phase_a_tiles: int = 8,
+    big_budget_divisor: int = 16,
 ) -> RenderOutput:
     """Rasterize preprocessed Gaussians. All capacities static."""
     grid_x, grid_y = tile_grid(width, height)
@@ -79,6 +82,7 @@ def render_tiled(
     binning = bin_gaussians(
         prep.means2d, prep.depths, prep.radii, width, height,
         dup_capacity=dup_capacity, max_tiles_per_gaussian=max_tiles_per_gaussian,
+        phase_a_tiles=phase_a_tiles, big_budget_divisor=big_budget_divisor,
     )
 
     # Gather per-duplicate data into sorted order once ([K, ...]); the

@@ -110,10 +110,20 @@ def densify_and_prune(
     extent: float,
     max_screen_size: float,
     percent_dense: float,
+    prune_big_screen: bool = False,
 ) -> Tuple[GaussianScene, AdamState, DensifyStats, jnp.ndarray]:
     """One density-control step (reference `densify_and_prune`, `:389-403`).
     max_screen_size <= 0 disables the screen/world size prunes (the
     reference passes None before iteration opacity_reset, `train.py:144`).
+
+    prune_big_screen: the reference *looks* like it prunes screen-oversized
+    Gaussians (`big_points_vs`, `:397-399`), but its clone/split both call
+    `densification_postfix` which zeroes `max_radii2D` for every point
+    (`:345-347`) BEFORE the prune reads it — so the screen-size prune never
+    fires upstream. Default False reproduces that quirk exactly (only the
+    world-size prune is live); True enables a working screen-size prune
+    using the live max_radii2d stats (a deliberate improvement, off for
+    strict parity).
 
     Returns (scene, opt_state, stats_reset, n_dropped)."""
     C = scene.capacity
@@ -185,11 +195,14 @@ def densify_and_prune(
     opac = scene2.get_opacity[:, 0]
     prune = opac < min_opacity
     if max_screen_size and max_screen_size > 0:
-        # Stats rows for new slots are zero -> never screen-pruned.
-        big_vs = stats.max_radii2d > max_screen_size
-        big_vs = big_vs & ~_freshly_written(all_dest, C)  # new slots keep old stats rows; mask them
         big_ws = jnp.max(scene2.get_scaling, axis=1) > 0.1 * extent
-        prune = prune | big_vs | big_ws
+        prune = prune | big_ws
+        if prune_big_screen:
+            # Live screen-size prune (upstream's is dead code, see above).
+            big_vs = stats.max_radii2d > max_screen_size
+            # New slots keep stale stats rows; mask them.
+            big_vs = big_vs & ~_freshly_written(all_dest, C)
+            prune = prune | big_vs
     final_mask = scene2.mask & ~prune
 
     # Park dead slots so they never render.

@@ -118,7 +118,7 @@ def train_step(
 densify_and_prune_jit = jax.jit(
     densify_mod.densify_and_prune,
     static_argnames=("max_grad", "min_opacity", "extent", "max_screen_size",
-                     "percent_dense"),
+                     "percent_dense", "prune_big_screen"),
 )
 reset_opacity_jit = jax.jit(densify_mod.reset_opacity)
 
@@ -178,24 +178,28 @@ class Trainer:
         scene = self.state.scene
         fill = float(np.asarray(scene.num_active)) / scene.capacity
         if fill > self.grow_threshold:
-            # Grow 4x: every new capacity recompiles the train step, which
-            # costs minutes on the remote TPU compiler - amortize hard.
-            new_cap = scene.capacity * 4
-            scene = grow_capacity(scene, new_cap)
+            self._grow()
 
-            def pad_rows(t):
-                pad = new_cap - t.shape[0]
-                return jnp.pad(t, [(0, pad)] + [(0, 0)] * (t.ndim - 1))
+    def _grow(self):
+        # Grow 4x: every new capacity recompiles the train step, which
+        # costs minutes on the remote TPU compiler - amortize hard.
+        scene = self.state.scene
+        new_cap = scene.capacity * 4
+        scene = grow_capacity(scene, new_cap)
 
-            opt = AdamState(
-                mu=jax.tree.map(pad_rows, self.state.opt_state.mu),
-                nu=jax.tree.map(pad_rows, self.state.opt_state.nu),
-                count=self.state.opt_state.count,
-            )
-            stats = densify_mod.DensifyStats(
-                *(pad_rows(t) for t in self.state.stats)
-            )
-            self.state = TrainState(scene, opt, stats, self.state.step)
+        def pad_rows(t):
+            pad = new_cap - t.shape[0]
+            return jnp.pad(t, [(0, pad)] + [(0, 0)] * (t.ndim - 1))
+
+        opt = AdamState(
+            mu=jax.tree.map(pad_rows, self.state.opt_state.mu),
+            nu=jax.tree.map(pad_rows, self.state.opt_state.nu),
+            count=self.state.opt_state.count,
+        )
+        stats = densify_mod.DensifyStats(
+            *(pad_rows(t) for t in self.state.stats)
+        )
+        self.state = TrainState(scene, opt, stats, self.state.step)
 
     def run(self, iterations: int, log_every: int = 0):
         cfg = self.opt_cfg
@@ -226,18 +230,42 @@ class Trainer:
             # Densification block (`train.py:137-147`).
             if it < cfg.densify_until_iter:
                 if it > cfg.densify_from_iter and it % cfg.densification_interval == 0:
+                    # A truncated binning emission grid silently degrades
+                    # training quality (the CUDA path is uncapped,
+                    # rasterizer_impl.cu:291-305) — check the overflow flag
+                    # at densify cadence and grow dup_capacity when it trips.
+                    if bool(np.asarray(aux["overflow"])):
+                        new_dup = self.settings.dup_capacity * 2
+                        self.history.append(
+                            {"iter": it, "event": "dup_capacity_grow",
+                             "dup_capacity": new_dup}
+                        )
+                        self.settings = self.settings._replace(
+                            dup_capacity=new_dup
+                        )
                     max_screen = 20.0 if it > cfg.opacity_reset_interval else 0.0
                     self._maybe_grow()
                     self.key, k2 = jax.random.split(self.key)
-                    scene, opt, stats, dropped = densify_and_prune_jit(
-                        self.state.scene, self.state.opt_state, self.state.stats,
-                        k2,
-                        max_grad=cfg.densify_grad_threshold,
-                        min_opacity=0.005,
-                        extent=float(self.cameras_extent),
-                        max_screen_size=max_screen,
-                        percent_dense=cfg.percent_dense,
-                    )
+                    # densify_and_prune is pure: if free capacity can't hold
+                    # this clone/split burst (dropped > 0), discard the
+                    # result, grow, and re-run so no candidates are lost.
+                    for _attempt in range(3):
+                        scene, opt, stats, dropped = densify_and_prune_jit(
+                            self.state.scene, self.state.opt_state,
+                            self.state.stats, k2,
+                            max_grad=cfg.densify_grad_threshold,
+                            min_opacity=0.005,
+                            extent=float(self.cameras_extent),
+                            max_screen_size=max_screen,
+                            percent_dense=cfg.percent_dense,
+                        )
+                        if int(np.asarray(dropped)) == 0:
+                            break
+                        self.history.append(
+                            {"iter": it, "event": "capacity_grow_retry",
+                             "dropped": int(np.asarray(dropped))}
+                        )
+                        self._grow()
                     self.state = TrainState(scene, opt, stats, self.state.step)
                 if it % cfg.opacity_reset_interval == 0 or (
                     # white-bg models also reset right when densification
