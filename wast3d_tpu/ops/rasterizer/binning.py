@@ -8,15 +8,21 @@ scattering three payload buffers is exactly what's slow on TPU, so the
 pipeline is restructured:
 
 1. **Depth pre-sort** the N Gaussians once (cheap: N << #duplicates).
-2. Emit the (tile_id, depth_rank) duplicate grid directly — two-phase to
+   After this, a duplicate's within-tile depth position is its *rank* in
+   the depth order — a dense int in [0, N).
+2. Emit the (tile_id, rank) duplicate grid directly — multi-phase to
    bound its size: every Gaussian gets `phase_a_tiles` slots (covers the
-   overwhelmingly common small rects) and a depth-ranked big-Gaussian
-   subset gets the remaining `max_tiles_per_gaussian - phase_a_tiles`.
-3. **Two-key (tile, depth-rank) int32 sort of the raw grid** — no offset
-   cumsums, no scatters; the rank key restores exact within-tile depth
-   order across the two emission phases.
-4. Per-tile ranges via searchsorted (`identifyTileRanges`,
-   `rasterizer_impl.cu:116`).
+   overwhelmingly common small rects) and depth-ranked big-Gaussian
+   subsets get progressively larger budgets.
+3. **Single uint32 key sort**: key = tile_id * N + rank. (tile, rank)
+   pairs are unique, so no stability or payload is needed and the sorted
+   key decodes back to (tile, rank) exactly. This is ~2.5x cheaper than
+   the 2-key int32 sort it replaces (measured on v5e); it applies
+   whenever (num_tiles + 1) * N <= 2^32 — e.g. 1M Gaussians at 1296x832
+   (4212 tiles) fits. Larger problems fall back to the 2-key sort.
+4. Per-tile ranges via ONE searchsorted over the packed keys with
+   needles tile*N for tile in [0, T] — starts and ends in a single pass
+   (`identifyTileRanges`, `rasterizer_impl.cu:116`).
 
 Static capacities are the XLA-shape price: Gaussians whose rect exceeds
 `max_tiles_per_gaussian` tiles, or with rect > phase_a_tiles beyond the
@@ -74,6 +80,20 @@ def compute_rects(means2d, radii, grid_x: int, grid_y: int):
     return xmin, ymin, xmax, ymax
 
 
+def _phase_plan(n: int, ra: int, max_tiles: int, big_budget_divisor: int):
+    """Static emission budget schedule: (slots_start, slots, budget)."""
+    phases = [(0, ra, None)]
+    covered = ra
+    divisor = big_budget_divisor
+    while covered < max_tiles:
+        extra = min(max_tiles - covered, covered * 7)
+        budget = max(256, min(n, n // divisor))
+        phases.append((covered, extra, budget))
+        covered += extra
+        divisor *= 16
+    return phases
+
+
 def bin_gaussians(
     means2d: jnp.ndarray,
     depths: jnp.ndarray,
@@ -89,9 +109,16 @@ def bin_gaussians(
     n = means2d.shape[0]
     grid_x, grid_y = tile_grid(width, height)
     num_tiles = grid_x * grid_y
+    # uint32 multiply-packing applies when every (tile, rank) key —
+    # including the invalid sentinel tile == num_tiles — fits 32 bits.
+    packable = (num_tiles + 1) * n <= (1 << 32)
 
-    # 1. Depth pre-sort (invalid to the back).
-    order = jnp.argsort(jnp.where(radii > 0, depths, jnp.inf)).astype(jnp.int32)
+    # 1. Depth pre-sort (invalid to the back). A 1-key sort with an iota
+    # payload beats argsort's internal comparator on TPU.
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, order = jax.lax.sort(
+        (jnp.where(radii > 0, depths, jnp.inf), iota), dimension=0, num_keys=1
+    )
     means2d_s = means2d[order]
     radii_s = radii[order]
 
@@ -107,35 +134,40 @@ def bin_gaussians(
     # ~1.5x the typical duplicate count while avoiding the visible tile
     # truncation a single small budget causes.
     ra = min(phase_a_tiles, max_tiles_per_gaussian)
-    phases = [(0, ra, None)]  # (slots_start, slots, selection)
-    covered = ra
-    divisor = big_budget_divisor
-    while covered < max_tiles_per_gaussian:
-        extra = min(max_tiles_per_gaussian - covered, covered * 7)
-        budget = max(256, min(n, n // divisor))
-        phases.append((covered, extra, budget))
-        covered += extra
-        divisor *= 16
+    phases = _phase_plan(n, ra, max_tiles_per_gaussian, big_budget_divisor)
 
     te = jnp.minimum(tiles_touched, ra)
     overflow = jnp.any(tiles_touched > max_tiles_per_gaussian)
-    grids = []
+    emitted = []  # per-phase packed keys (or (tile, rank) pairs)
 
-    def emission_grid(sel, r0, r_count, te_sel):
-        """(tile_id, depth_rank) pairs for rect positions [r0, r0+r_count)
-        of the selected (sorted-order) gaussians; invalid -> num_tiles."""
-        r_idx = r0 + jnp.arange(r_count, dtype=jnp.int32)[None, :]
-        rw = jnp.maximum(rect_w[sel], 1)[:, None]
-        tx = xmin[sel][:, None] + r_idx % rw
-        ty = ymin[sel][:, None] + r_idx // rw
+    def emission(xmin_s, ymin_s, rw_s, te_s, rank_s, r0, r_count):
+        """Keys for rect positions [r0, r0+r_count) of the selected
+        (sorted-order) gaussians, laid out [slots, m] so lanes stay dense.
+
+        The slot -> (tx, ty) decode uses float division: exact for
+        a, b < 2^14 because fl(a/b)'s relative error 2^-24 cannot bridge
+        the >= 1/b gap between a/b and the next integer. (Integer div/mod
+        lower to long software sequences on the VPU.)"""
+        r_idx = (r0 + jnp.arange(r_count, dtype=jnp.int32))[:, None]
+        rwm = jnp.maximum(rw_s, 1)[None, :]
+        ty_off = jnp.floor(
+            r_idx.astype(jnp.float32) * (1.0 / rwm.astype(jnp.float32))
+        ).astype(jnp.int32)
+        tx = xmin_s[None, :] + (r_idx - ty_off * rwm)
+        ty = ymin_s[None, :] + ty_off
         tile_id = ty * grid_x + tx
-        valid = r_idx < te_sel[:, None]
+        valid = r_idx < te_s[None, :]
+        if packable:
+            key = tile_id.astype(jnp.uint32) * jnp.uint32(n) + rank_s[
+                None, :
+            ].astype(jnp.uint32)
+            inval = jnp.uint32(num_tiles * n)
+            return (jnp.where(valid, key, inval).reshape(-1),)
         tile_id = jnp.where(valid, tile_id, num_tiles)
-        rank = jnp.broadcast_to(sel[:, None], tile_id.shape)
-        return tile_id.reshape(-1), rank.reshape(-1)
+        rank2d = jnp.broadcast_to(rank_s[None, :], tile_id.shape)
+        return tile_id.reshape(-1), rank2d.reshape(-1)
 
-    all_idx = jnp.arange(n, dtype=jnp.int32)
-    grids.append(emission_grid(all_idx, 0, ra, te))
+    emitted.append(emission(xmin, ymin, rect_w, te, iota, 0, ra))
     for start, extra, budget in phases[1:]:
         wants = tiles_touched > start
         prank = jnp.cumsum(wants) - 1
@@ -145,7 +177,7 @@ def bin_gaussians(
         # is itself selected): mark them -1 and zero their slot budget.
         sel_idx = jnp.full((budget,), -1, jnp.int32).at[
             jnp.where(selected, prank, budget)
-        ].set(all_idx, mode="drop")
+        ].set(iota, mode="drop")
         slot_live = sel_idx >= 0
         sel_safe = jnp.maximum(sel_idx, 0)
         te_phase = jnp.where(
@@ -154,32 +186,48 @@ def bin_gaussians(
         te = te + te_phase
         overflow = overflow | jnp.any(wants & ~selected)
         te_sel = jnp.where(slot_live, te[sel_safe], 0)
-        grids.append(emission_grid(sel_safe, start, extra, te_sel))
+        emitted.append(
+            emission(xmin[sel_safe], ymin[sel_safe], rect_w[sel_safe],
+                     te_sel, sel_safe, start, extra)
+        )
     total = jnp.sum(te)
 
-    # 3. Sort the emission grid DIRECTLY with a (tile, depth-rank)
-    # two-key sort - no offset cumsums, no scatters. The rank key restores
-    # exact within-tile depth order across the emission phases.
-    tiles_buf = jnp.concatenate([g[0] for g in grids])
-    ranks_buf = jnp.concatenate([g[1] for g in grids])
-    sorted_tile, sorted_rank = jax.lax.sort(
-        (tiles_buf, ranks_buf), dimension=0, num_keys=2
-    )
+    # 3. Sort. Valid entries sort to the FRONT (invalid carry
+    # tile == num_tiles), so the emission grid's padding can be dropped
+    # with a static prefix slice: downstream gather/pack/blend scale with
+    # dup_capacity, not the grid. dup_capacity <= 0 keeps the full grid.
+    if packable:
+        keys = jnp.concatenate([e[0] for e in emitted])
+        sorted_key = jax.lax.sort(keys, dimension=0)
+        if 0 < dup_capacity < sorted_key.shape[0]:
+            overflow = overflow | (total > dup_capacity)
+            sorted_key = sorted_key[:dup_capacity]
+        sorted_rank = (sorted_key % jnp.uint32(n)).astype(jnp.int32)
+        # 4. Tile ranges: one searchsorted over the packed keys; needle
+        # tile*N is <= every key of `tile` and > every key of tile-1.
+        needles = jnp.arange(num_tiles + 1, dtype=jnp.uint32) * jnp.uint32(n)
+        bounds = jnp.searchsorted(sorted_key, needles, side="left").astype(
+            jnp.int32
+        )
+        tile_start, tile_end = bounds[:-1], bounds[1:]
+        sorted_tile = (sorted_key // jnp.uint32(n)).astype(jnp.int32)
+    else:
+        tiles_buf = jnp.concatenate([e[0] for e in emitted])
+        ranks_buf = jnp.concatenate([e[1] for e in emitted])
+        sorted_tile, sorted_rank = jax.lax.sort(
+            (tiles_buf, ranks_buf), dimension=0, num_keys=2
+        )
+        if 0 < dup_capacity < sorted_tile.shape[0]:
+            overflow = overflow | (total > dup_capacity)
+            sorted_tile = sorted_tile[:dup_capacity]
+            sorted_rank = sorted_rank[:dup_capacity]
+        tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(
+            jnp.int32
+        )
+        tile_start, tile_end = bounds[:-1], bounds[1:]
 
-    # Valid entries sort to the FRONT (invalid carry tile == num_tiles), so
-    # the emission grid's padding can be dropped with a static prefix
-    # slice: downstream gather/pack/blend scale with dup_capacity, not the
-    # grid. dup_capacity <= 0 keeps the full grid.
-    if 0 < dup_capacity < sorted_tile.shape[0]:
-        overflow = overflow | (total > dup_capacity)
-        sorted_tile = sorted_tile[:dup_capacity]
-        sorted_rank = sorted_rank[:dup_capacity]
     sorted_gauss = order[sorted_rank]
-
-    # 4. Tile ranges.
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
 
     return Binning(
         gauss_idx=sorted_gauss,

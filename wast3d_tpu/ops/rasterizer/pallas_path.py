@@ -62,20 +62,26 @@ def render_pallas(
         ],
         axis=1,
     )  # [N,10]
+    n = packed_g.shape[0]
     # Two-hop gather: one cheap N-row reorder into depth order, then the
     # K-row gather by rank (saves a separate K-row int gather of gauss_idx
-    # — random K-row gathers cost ~7.6ms/M-rows on v5e).
-    sorted_rows = packed_g[binning.depth_order][binning.rank]  # [K,10]
-    K = sorted_rows.shape[0]
+    # — random K-row gathers cost ~7.6ms/M-rows on v5e). Invalid tail
+    # entries (sorted past the last real tile) are never inside any
+    # [start, end) so the kernel ignores them, but they must not poison
+    # via NaN: redirect their rank to an all-zero sentinel row instead of
+    # masking the (much larger) packed output after the fact.
+    K = binning.rank.shape[0]
+    safe_rank = jnp.where(
+        jnp.arange(K, dtype=jnp.int32) < binning.tile_end[-1],
+        binning.rank, n,
+    )
+    source = jnp.concatenate(
+        [packed_g[binning.depth_order], jnp.zeros((1, 10), jnp.float32)]
+    )  # [N+1,10], row n = sentinel zeros
+    sorted_rows = source[safe_rank]  # [K,10]
     packed = jnp.pad(
         sorted_rows.T, ((0, pb.NROWS - sorted_rows.shape[1]), (0, pb.G))
     )  # [16, K+G]
-    # Invalid tail entries (sorted past the last real tile) carry sentinel
-    # depth/garbage; they are never inside any [start, end) so the kernel
-    # ignores them, but ensure they cannot poison via NaN — and this mask's
-    # VJP also zeroes any gradient rows the kernel leaves for the tail.
-    valid_dup = jnp.arange(K + pb.G) < binning.tile_end[-1]
-    packed = jnp.where(valid_dup[None, :], packed, 0.0)
 
     px, py = _tile_pixel_coords(grid_x, grid_y)  # [T,P]
     if sampling_offsets is not None:

@@ -90,8 +90,8 @@ def ring_knn_sq_dists(
         # Initial accumulators must carry the 'model' varying type to match
         # the loop outputs under shard_map's typed axes.
         init = (
-            jax.lax.pvary(jnp.full((nloc, k), _BIG, jnp.float32), ("model",)),
-            jax.lax.pvary(jnp.zeros((nloc, k), jnp.int32), ("model",)),
+            jax.lax.pcast(jnp.full((nloc, k), _BIG, jnp.float32), "model", to="varying"),
+            jax.lax.pcast(jnp.zeros((nloc, k), jnp.int32), "model", to="varying"),
             cols0,
             cv0,
         )

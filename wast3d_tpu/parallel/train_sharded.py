@@ -10,11 +10,16 @@ v5p-8):
   psums for the replicated loss.
 - A per-step camera batch shards over `data`; gradients are averaged
   across the batch (vmap + mean, psum inserted by XLA).
-- Densification stays a single jitted call on the sharded state (masked
-  scatters are row-local except the free-slot cumsum).
+- FULL single-device step parity: per-view pixel jitter offsets,
+  per-Gaussian densification stats (positional-grad accumulator / seen
+  counter / max screen radius, reduced over the camera batch), and the
+  binning overflow flag all flow exactly as in train.reconstruct; the
+  `ShardedTrainer` host loop runs the same densify / opacity-reset /
+  capacity-growth schedule on the sharded state (densify's masked
+  scatters are row-local; XLA handles the free-slot cumsum collectives).
 
 Use `make_sharded_train_step(...)` once per (mesh, resolution, config),
-then drive it from a host loop like train.reconstruct.Trainer.
+then drive it with `ShardedTrainer` (or any host loop).
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ from wast3d_tpu.config import OptimizationConfig, SphereConfig
 from wast3d_tpu.ops.image_losses import photometric_loss
 from wast3d_tpu.ops.rasterizer import api as raster_api
 from wast3d_tpu.parallel.mesh import shard_train_state
+from wast3d_tpu.train import densify as densify_mod
 from wast3d_tpu.train import reconstruct as R
 from wast3d_tpu.train.optim import make_optimizer
 from wast3d_tpu.train.spheres import sphere_regularizer
@@ -52,37 +58,69 @@ def make_sharded_train_step(
     settings: raster_api.RasterizeSettings,
     spatial_lr_scale: float = 1.0,
     sphere_cfg: Optional[SphereConfig] = None,
+    jitter: bool = True,
 ):
-    """Returns train_step(state, cam_batch, gt_batch, bg) -> (state, loss).
+    """Returns train_step(state, cam_batch, gt_batch, bg, key)
+    -> (state, aux).
 
     cam_batch/gt_batch carry a leading batch axis sharded over 'data';
     the scene inside `state` is sharded over 'model' (use
-    parallel.mesh.shard_train_state)."""
+    parallel.mesh.shard_train_state). aux carries loss / overflow /
+    num_active like the single-device step."""
     opt = make_optimizer(opt_cfg, spatial_lr_scale)
 
     @jax.jit
-    def train_step(state: R.TrainState, cam_batch, gt_batch, bg_color):
+    def train_step(state: R.TrainState, cam_batch, gt_batch, bg_color, key):
         scene = state.scene
         params = scene.params()
+        B, H, W = gt_batch.shape[0], gt_batch.shape[1], gt_batch.shape[2]
+        m2d_zero = jnp.zeros((B, scene.capacity, 2), jnp.float32)
+        if jitter:
+            offs = jax.vmap(
+                lambda k: raster_api.random_sampling_offsets(k, H, W)
+            )(jax.random.split(key, B))
+        else:
+            offs = jnp.zeros((B, 0, 0, 2), jnp.float32)
 
-        def loss_one(p, camera, gt):
+        def loss_one(p, m2d, camera, gt, off):
             s = scene.with_params(p)
-            out = raster_api.render(camera, s, bg_color, settings=settings)
+            out = raster_api.render(
+                camera, s, bg_color, settings=settings,
+                sampling_offsets=off if jitter else None,
+                means2d_offset=m2d,
+            )
             loss = photometric_loss(out["render"], gt, opt_cfg.lambda_dssim)
             if sphere_cfg is not None:
                 loss = loss + sphere_regularizer(s, sphere_cfg)
-            return loss
+            return loss, (out["radii"], out["visibility_filter"],
+                          out["overflow"])
 
-        def loss_fn(p):
-            losses = jax.vmap(lambda c, g: loss_one(p, c, g))(cam_batch, gt_batch)
-            return jnp.mean(losses)
+        def loss_fn(p, m2d):
+            losses, aux = jax.vmap(
+                lambda m, c, g, o: loss_one(p, m, c, g, o)
+            )(m2d, cam_batch, gt_batch, offs)
+            return jnp.mean(losses), aux
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, (radii_b, vis_b, ovf_b)), (g_params, g_m2d) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                params, m2d_zero
+            )
+        )
         step = state.step + 1
-        new_params, new_opt = opt.update(grads, state.opt_state, params, step)
+        new_params, new_opt = opt.update(g_params, state.opt_state, params,
+                                         step)
+        new_stats = densify_mod.add_stats_batch(
+            state.stats, g_m2d, radii_b, vis_b, W, H
+        )
+        aux = {
+            "loss": loss,
+            "overflow": jnp.any(ovf_b),
+            "num_active": scene.num_active,
+        }
         return (
-            R.TrainState(scene.with_params(new_params), new_opt, state.stats, step),
-            loss,
+            R.TrainState(scene.with_params(new_params), new_opt, new_stats,
+                         step),
+            aux,
         )
 
     return train_step
@@ -92,3 +130,174 @@ def init_sharded(scene, opt_cfg: OptimizationConfig, mesh: Mesh,
                  spatial_lr_scale: float = 1.0) -> R.TrainState:
     state = R.init_train_state(scene, opt_cfg, spatial_lr_scale)
     return shard_train_state(state, mesh)
+
+
+class ShardedTrainer:
+    """Host loop for sharded training with the reference's densification
+    schedule (`/root/reference/train.py:137-147`): SH warm-up, densify /
+    prune every `densification_interval`, opacity resets, dup-capacity and
+    row-capacity growth — the same blocks `train.reconstruct.Trainer`
+    runs, applied to a model-sharded TrainState.
+
+    One ShardedTrainer iteration consumes `batch` cameras (one per `data`
+    mesh slot); with batch == 1 it reproduces the single-device
+    trajectory (see tests/test_parallel.py)."""
+
+    def __init__(
+        self,
+        state: R.TrainState,
+        cameras,
+        mesh: Mesh,
+        opt_cfg: OptimizationConfig = OptimizationConfig(),
+        settings: raster_api.RasterizeSettings = raster_api.RasterizeSettings(),
+        bg_color=None,
+        spatial_lr_scale: float = 1.0,
+        cameras_extent: float = 1.0,
+        sphere_cfg: Optional[SphereConfig] = None,
+        seed: int = 0,
+        white_background: bool = False,
+        jitter: bool = True,
+        grow_threshold: float = 0.75,
+    ):
+        self.state = state
+        self.cameras = cameras
+        self.mesh = mesh
+        self.batch = mesh.shape["data"]
+        self.opt_cfg = opt_cfg
+        self.settings = settings
+        self.bg_color = (
+            bg_color if bg_color is not None
+            else (jnp.ones(3) if white_background else jnp.zeros(3))
+        )
+        self.spatial_lr_scale = spatial_lr_scale
+        self.cameras_extent = cameras_extent
+        self.sphere_cfg = sphere_cfg
+        self.key = jax.random.PRNGKey(seed)
+        self.rng = np.random.default_rng(seed)
+        self.jitter = jitter
+        self.grow_threshold = grow_threshold
+        self._camera_order = []
+        self.history = []
+        self._it = int(self.state.step)
+        self._white_bg = bool(np.all(np.asarray(self.bg_color) == 1.0))
+        self._step_fn = make_sharded_train_step(
+            mesh, opt_cfg, settings, spatial_lr_scale, sphere_cfg, jitter
+        )
+
+    def _next_batch(self):
+        cams, gts = [], []
+        for _ in range(self.batch):
+            if not self._camera_order:
+                self._camera_order = list(
+                    self.rng.permutation(len(self.cameras))
+                )
+            c, g = self.cameras[self._camera_order.pop()]
+            cams.append(c)
+            gts.append(g)
+        return shard_camera_batch(self.mesh, cams, gts)
+
+    def _reshard(self):
+        self.state = shard_train_state(self.state, self.mesh)
+
+    def _grow(self):
+        from wast3d_tpu.scene.gaussians import grow_capacity
+        from wast3d_tpu.train.optim import AdamState
+
+        scene = self.state.scene
+        model = self.mesh.shape["model"]
+        new_cap = scene.capacity * 4
+        new_cap = -(-new_cap // model) * model  # keep shardable
+        scene = grow_capacity(scene, new_cap)
+
+        def pad_rows(t):
+            pad = new_cap - t.shape[0]
+            return jnp.pad(t, [(0, pad)] + [(0, 0)] * (t.ndim - 1))
+
+        opt = AdamState(
+            mu=jax.tree.map(pad_rows, self.state.opt_state.mu),
+            nu=jax.tree.map(pad_rows, self.state.opt_state.nu),
+            count=self.state.opt_state.count,
+        )
+        stats = densify_mod.DensifyStats(
+            *(pad_rows(t) for t in self.state.stats)
+        )
+        self.state = R.TrainState(scene, opt, stats, self.state.step)
+        self._reshard()
+
+    def _maybe_grow(self):
+        scene = self.state.scene
+        fill = float(np.asarray(scene.num_active)) / scene.capacity
+        if fill > self.grow_threshold:
+            self._grow()
+
+    def run(self, iterations: int, log_every: int = 0):
+        cfg = self.opt_cfg
+        with self.mesh:
+            for _ in range(iterations):
+                it = self._it + 1
+                self._it = it
+                if it % 1000 == 0:
+                    self.state = self.state._replace(
+                        scene=self.state.scene.one_up_sh_degree()
+                    )
+                cam_batch, gt_batch = self._next_batch()
+                self.key, k = jax.random.split(self.key)
+                self.state, aux = self._step_fn(
+                    self.state, cam_batch, gt_batch, self.bg_color, k
+                )
+                if it < cfg.densify_until_iter:
+                    if (it > cfg.densify_from_iter
+                            and it % cfg.densification_interval == 0):
+                        if bool(np.asarray(aux["overflow"])):
+                            new_dup = self.settings.dup_capacity * 2
+                            self.history.append(
+                                {"iter": it, "event": "dup_capacity_grow",
+                                 "dup_capacity": new_dup}
+                            )
+                            self.settings = self.settings._replace(
+                                dup_capacity=new_dup
+                            )
+                            self._step_fn = make_sharded_train_step(
+                                self.mesh, cfg, self.settings,
+                                self.spatial_lr_scale, self.sphere_cfg,
+                                self.jitter,
+                            )
+                        max_screen = (
+                            20.0 if it > cfg.opacity_reset_interval else 0.0
+                        )
+                        self._maybe_grow()
+                        self.key, k2 = jax.random.split(self.key)
+                        for _attempt in range(3):
+                            scene, opt, stats, dropped = R.densify_and_prune_jit(
+                                self.state.scene, self.state.opt_state,
+                                self.state.stats, k2,
+                                max_grad=cfg.densify_grad_threshold,
+                                min_opacity=0.005,
+                                extent=float(self.cameras_extent),
+                                max_screen_size=max_screen,
+                                percent_dense=cfg.percent_dense,
+                            )
+                            if int(np.asarray(dropped)) == 0:
+                                break
+                            self.history.append(
+                                {"iter": it, "event": "capacity_grow_retry",
+                                 "dropped": int(np.asarray(dropped))}
+                            )
+                            self._grow()
+                        self.state = R.TrainState(scene, opt, stats,
+                                                  self.state.step)
+                    if it % cfg.opacity_reset_interval == 0 or (
+                        self._white_bg and it == cfg.densify_from_iter
+                    ):
+                        scene, opt = R.reset_opacity_jit(
+                            self.state.scene, self.state.opt_state
+                        )
+                        self.state = self.state._replace(
+                            scene=scene, opt_state=opt
+                        )
+                if log_every and it % log_every == 0:
+                    self.history.append(
+                        {"iter": it, "loss": float(aux["loss"]),
+                         "n": int(aux["num_active"])}
+                    )
+        return self.state

@@ -79,6 +79,35 @@ def add_stats(
     )
 
 
+def add_stats_batch(
+    stats: DensifyStats,
+    means2d_grad: jnp.ndarray,  # [B, C, 2] per-view grads of the MEAN loss
+    radii: jnp.ndarray,  # [B, C]
+    visibility: jnp.ndarray,  # [B, C] bool
+    width: int,
+    height: int,
+) -> DensifyStats:
+    """Batched `add_stats`: one camera batch = B reference iterations.
+
+    means2d_grad comes from differentiating the batch-MEAN loss; since a
+    view's means2d offset only influences its own loss term, multiplying
+    by B recovers each view's own-loss gradient (what the reference
+    accumulates one view at a time, `train.py:140-143`)."""
+    B = means2d_grad.shape[0]
+    gx = means2d_grad[..., 0] * (0.5 * width * B)
+    gy = means2d_grad[..., 1] * (0.5 * height * B)
+    norm = jnp.sqrt(gx * gx + gy * gy)  # [B, C]
+    vis = visibility.astype(jnp.float32)
+    return DensifyStats(
+        xyz_gradient_accum=stats.xyz_gradient_accum + jnp.sum(norm * vis, 0),
+        denom=stats.denom + jnp.sum(vis, 0),
+        max_radii2d=jnp.maximum(
+            stats.max_radii2d,
+            jnp.max(jnp.where(visibility, radii.astype(jnp.float32), 0.0), 0),
+        ),
+    )
+
+
 def _free_slot_table(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """slot_at_rank[r] = index of the r-th free slot (C if none)."""
     C = mask.shape[0]
