@@ -97,3 +97,65 @@ class TestPhases:
             for k in range(starts[t], ends[t]):
                 got.add((int(gauss[k]), t))
         assert got == expected
+
+
+class TestOverflowCauses:
+    def test_dup_truncation_flags_dup_not_emit(self):
+        rng = np.random.default_rng(5)
+        n = 256
+        means = rng.uniform(50, 750, (n, 2))
+        radii = np.full(n, 10)  # <= 9 tiles, within default budgets
+        depths = rng.uniform(1, 5, n)
+        full = _bin(means, depths, radii)
+        total = int(full.num_duplicates)
+        capped = _bin(means, depths, radii, cap=total // 2)
+        assert bool(capped.overflow_dup)
+        assert not bool(capped.overflow_emit)
+        assert bool(capped.overflow)
+
+    def test_phase_budget_flags_emit_not_dup(self):
+        # 512 splats ALL wanting > phase_a tiles, but the phase-B budget is
+        # max(256, n//16) = 256 slots: emission truncation, no dup cap.
+        rng = np.random.default_rng(6)
+        n = 512
+        means = rng.uniform(100, 700, (n, 2))
+        radii = np.full(n, 40)  # rect ~ 6x6 = 36 tiles > phase_a 8
+        depths = rng.uniform(1, 5, n)
+        b = _bin(means, depths, radii)
+        assert bool(b.overflow_emit)
+        assert not bool(b.overflow_dup)
+        assert bool(b.overflow)
+
+    def test_trainer_grows_phase_a_on_emit_overflow(self):
+        import jax.numpy as jnp
+
+        import wast3d_tpu.train.reconstruct as R
+        from tests.test_train import _mini_scene
+        from wast3d_tpu.config import OptimizationConfig
+        from wast3d_tpu.core.camera import look_at_camera
+        from wast3d_tpu.ops.rasterizer import api
+
+        # 300 splats each covering ~4 tiles with phase_a_tiles=1: the
+        # phase-B budget (256) can't hold all 300, so overflow_emit trips
+        # and the trainer must double phase_a_tiles (NOT dup_capacity).
+        scene = _mini_scene(n=300, cap=512)
+        cam = look_at_camera(eye=[0, 0, -4], target=[0, 0, 0], up=[0, -1, 0],
+                             fovx=0.9, fovy=0.9, width=64, height=64)
+        gt = jnp.ones((64, 64, 3), jnp.float32) * 0.5
+        cfg = OptimizationConfig(
+            densify_from_iter=1, densify_until_iter=1000,
+            densification_interval=2, opacity_reset_interval=10000,
+            densify_grad_threshold=1e9,  # no actual densification
+        )
+        settings = api.RasterizeSettings(
+            renderer="tiled", dup_capacity=1 << 13, max_per_tile=512,
+            chunk=16, phase_a_tiles=1,
+        )
+        tr = R.Trainer(R.init_train_state(scene, cfg, 1.0), [(cam, gt)],
+                       opt_cfg=cfg, settings=settings, cameras_extent=1.0)
+        tr.run(4)
+        grow = [h for h in tr.history
+                if h.get("event") == "raster_capacity_grow"]
+        assert grow, "emission overflow never handled"
+        assert any("phase_a_tiles" in h for h in grow)
+        assert tr.settings.phase_a_tiles > 1

@@ -335,9 +335,14 @@ class TestTrainerGrowthHandling:
         # the trainer must detect aux["overflow"] and double dup_capacity.
         tr = self._tiny_setup(dup_capacity=16)
         tr.run(4)
-        grow_events = [h for h in tr.history if h.get("event") == "dup_capacity_grow"]
+        grow_events = [h for h in tr.history
+                       if h.get("event") == "raster_capacity_grow"]
         assert grow_events, "overflow never surfaced/handled"
+        # 32x32 frame = 4 tiles, every rect <= 4 <= phase_a_tiles: the
+        # truncation is prefix-capacity, so the DUP knob must grow (not
+        # the emission budget).
         assert tr.settings.dup_capacity > 16
+        assert all("dup_capacity" in h for h in grow_events)
 
     def test_dropped_densify_grows_and_retries(self):
         # Fill below the 75% pre-grow threshold (so _maybe_grow stays

@@ -71,7 +71,9 @@ def render(
 ) -> dict:
     """Render the scene from `camera`. Returns a dict with:
     render [H,W,3], depth [H,W], final_T [H,W], radii [N], visibility_filter
-    [N] bool, overflow [] bool (oracle path: overflow always False)."""
+    [N] bool, overflow [] bool, overflow_emit [] bool (emission-budget
+    truncation — grow phase_a_tiles/max_per_tile — vs dup_capacity
+    otherwise; the oracle path never overflows)."""
     colors_precomp = None
     shs = None
     if override_color is not None:
@@ -119,6 +121,7 @@ def render(
             prep, camera.width, camera.height, bg_color, sampling_offsets
         )
         overflow = jnp.zeros((), bool)
+        overflow_emit = jnp.zeros((), bool)
     elif settings.renderer == "pallas":
         from wast3d_tpu.ops.rasterizer.pallas_path import render_pallas
 
@@ -134,7 +137,7 @@ def render(
             phase_a_tiles=settings.phase_a_tiles,
             big_budget_divisor=settings.big_budget_divisor,
         )
-        color, depth, final_T, overflow = out
+        color, depth, final_T, overflow, overflow_emit = out
     else:
         out = tiled_mod.render_tiled(
             prep,
@@ -149,7 +152,7 @@ def render(
             phase_a_tiles=settings.phase_a_tiles,
             big_budget_divisor=settings.big_budget_divisor,
         )
-        color, depth, final_T, overflow = out
+        color, depth, final_T, overflow, overflow_emit = out
 
     return {
         "render": color,
@@ -158,4 +161,5 @@ def render(
         "radii": prep.radii,
         "visibility_filter": prep.radii > 0,
         "overflow": overflow,
+        "overflow_emit": overflow_emit,
     }

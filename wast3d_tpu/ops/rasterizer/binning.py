@@ -50,7 +50,14 @@ class Binning(NamedTuple):
     tile_start: jnp.ndarray  # [T] range starts into the sorted list
     tile_end: jnp.ndarray  # [T] range ends
     num_duplicates: jnp.ndarray  # [] total emitted (pre-drop)
-    overflow: jnp.ndarray  # [] bool: any duplicate dropped
+    overflow: jnp.ndarray  # [] bool: any duplicate dropped (any cause)
+    # Cause split so hosts can grow the RIGHT knob (the CUDA path is
+    # uncapped, rasterizer_impl.cu:291-305, so any truncation is a
+    # regression to repair): emission truncation (rect cap /
+    # phase-selection budget -> grow phase_a_tiles) vs sorted-prefix
+    # truncation (total > dup_capacity -> grow dup_capacity).
+    overflow_emit: jnp.ndarray = None  # [] bool
+    overflow_dup: jnp.ndarray = None  # [] bool
     # Gather-avoidance pair: gauss_idx == depth_order[rank]. Consumers that
     # can pre-sort their per-gaussian data by depth_order (one N-row
     # gather) should index it with `rank` directly — materializing
@@ -137,7 +144,7 @@ def bin_gaussians(
     phases = _phase_plan(n, ra, max_tiles_per_gaussian, big_budget_divisor)
 
     te = jnp.minimum(tiles_touched, ra)
-    overflow = jnp.any(tiles_touched > max_tiles_per_gaussian)
+    ovf_emit = jnp.any(tiles_touched > max_tiles_per_gaussian)
     emitted = []  # per-phase packed keys (or (tile, rank) pairs)
 
     def emission(xmin_s, ymin_s, rw_s, te_s, rank_s, r0, r_count):
@@ -184,13 +191,14 @@ def bin_gaussians(
             selected, jnp.clip(tiles_touched - start, 0, extra), 0
         )
         te = te + te_phase
-        overflow = overflow | jnp.any(wants & ~selected)
+        ovf_emit = ovf_emit | jnp.any(wants & ~selected)
         te_sel = jnp.where(slot_live, te[sel_safe], 0)
         emitted.append(
             emission(xmin[sel_safe], ymin[sel_safe], rect_w[sel_safe],
                      te_sel, sel_safe, start, extra)
         )
     total = jnp.sum(te)
+    ovf_dup = jnp.zeros((), bool)
 
     # 3. Sort. Valid entries sort to the FRONT (invalid carry
     # tile == num_tiles), so the emission grid's padding can be dropped
@@ -200,7 +208,7 @@ def bin_gaussians(
         keys = jnp.concatenate([e[0] for e in emitted])
         sorted_key = jax.lax.sort(keys, dimension=0)
         if 0 < dup_capacity < sorted_key.shape[0]:
-            overflow = overflow | (total > dup_capacity)
+            ovf_dup = total > dup_capacity
             sorted_key = sorted_key[:dup_capacity]
         sorted_rank = (sorted_key % jnp.uint32(n)).astype(jnp.int32)
         # 4. Tile ranges: one searchsorted over the packed keys; needle
@@ -218,7 +226,7 @@ def bin_gaussians(
             (tiles_buf, ranks_buf), dimension=0, num_keys=2
         )
         if 0 < dup_capacity < sorted_tile.shape[0]:
-            overflow = overflow | (total > dup_capacity)
+            ovf_dup = total > dup_capacity
             sorted_tile = sorted_tile[:dup_capacity]
             sorted_rank = sorted_rank[:dup_capacity]
         tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
@@ -235,7 +243,9 @@ def bin_gaussians(
         tile_start=tile_start,
         tile_end=tile_end,
         num_duplicates=total,
-        overflow=overflow,
+        overflow=ovf_emit | ovf_dup,
+        overflow_emit=ovf_emit,
+        overflow_dup=ovf_dup,
         depth_order=order,
         rank=sorted_rank,
     )

@@ -110,4 +110,5 @@ def render_pallas(
         depth=untile(depth_t[..., None], 1)[..., 0],
         final_T=untile(tfin[..., None], 1)[..., 0],
         overflow=binning.overflow,
+        overflow_emit=binning.overflow_emit,
     )

@@ -41,7 +41,11 @@ class RenderOutput(NamedTuple):
     color: jnp.ndarray  # [H,W,3]
     depth: jnp.ndarray  # [H,W]
     final_T: jnp.ndarray  # [H,W]
-    overflow: jnp.ndarray  # [] bool (binning capacity exceeded)
+    overflow: jnp.ndarray  # [] bool (any capacity exceeded)
+    # Emission-budget truncation specifically (rect cap / phase budget /
+    # tiled per-tile cap): hosts grow phase_a_tiles or max_per_tile for
+    # this, dup_capacity otherwise.
+    overflow_emit: jnp.ndarray = None  # [] bool
 
 
 def _tile_pixel_coords(grid_x: int, grid_y: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -172,7 +176,9 @@ def render_tiled(
     color_acc = color_acc + T_run[..., None] * bg_color[None, None, :]
 
     # Truncation diagnostic: any tile longer than max_per_tile.
-    overflow = binning.overflow | jnp.any(end - start > max_per_tile)
+    tile_trunc = jnp.any(end - start > max_per_tile)
+    overflow = binning.overflow | tile_trunc
+    overflow_emit = binning.overflow_emit | tile_trunc
 
     def untile(x, ch):
         img = x.reshape(grid_y, grid_x, TILE, TILE, ch).transpose(0, 2, 1, 3, 4)
@@ -182,4 +188,5 @@ def render_tiled(
     color = untile(color_acc, 3)
     depth = untile(depth_acc[..., None], 1)[..., 0]
     final_T = untile(T_run[..., None], 1)[..., 0]
-    return RenderOutput(color=color, depth=depth, final_T=final_T, overflow=overflow)
+    return RenderOutput(color=color, depth=depth, final_T=final_T,
+                        overflow=overflow, overflow_emit=overflow_emit)

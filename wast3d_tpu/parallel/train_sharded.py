@@ -93,7 +93,7 @@ def make_sharded_train_step(
             if sphere_cfg is not None:
                 loss = loss + sphere_regularizer(s, sphere_cfg)
             return loss, (out["radii"], out["visibility_filter"],
-                          out["overflow"])
+                          out["overflow"], out["overflow_emit"])
 
         def loss_fn(p, m2d):
             losses, aux = jax.vmap(
@@ -101,7 +101,7 @@ def make_sharded_train_step(
             )(m2d, cam_batch, gt_batch, offs)
             return jnp.mean(losses), aux
 
-        (loss, (radii_b, vis_b, ovf_b)), (g_params, g_m2d) = (
+        (loss, (radii_b, vis_b, ovf_b, ovfe_b)), (g_params, g_m2d) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, m2d_zero
             )
@@ -115,6 +115,7 @@ def make_sharded_train_step(
         aux = {
             "loss": loss,
             "overflow": jnp.any(ovf_b),
+            "overflow_emit": jnp.any(ovfe_b),
             "num_active": scene.num_active,
         }
         return (
@@ -249,14 +250,21 @@ class ShardedTrainer:
                     if (it > cfg.densify_from_iter
                             and it % cfg.densification_interval == 0):
                         if bool(np.asarray(aux["overflow"])):
-                            new_dup = self.settings.dup_capacity * 2
+                            if bool(np.asarray(aux["overflow_emit"])):
+                                upd = {"phase_a_tiles":
+                                       self.settings.phase_a_tiles * 2}
+                                if self.settings.renderer == "tiled":
+                                    upd["max_per_tile"] = (
+                                        self.settings.max_per_tile * 2
+                                    )
+                            else:
+                                upd = {"dup_capacity":
+                                       self.settings.dup_capacity * 2}
                             self.history.append(
-                                {"iter": it, "event": "dup_capacity_grow",
-                                 "dup_capacity": new_dup}
+                                {"iter": it,
+                                 "event": "raster_capacity_grow", **upd}
                             )
-                            self.settings = self.settings._replace(
-                                dup_capacity=new_dup
-                            )
+                            self.settings = self.settings._replace(**upd)
                             self._step_fn = make_sharded_train_step(
                                 self.mesh, cfg, self.settings,
                                 self.spatial_lr_scale, self.sphere_cfg,

@@ -110,6 +110,7 @@ def train_step(
         "radii": out["radii"],
         "visibility": out["visibility_filter"],
         "overflow": out["overflow"],
+        "overflow_emit": out["overflow_emit"],
         "num_active": scene.num_active,
     }
     return TrainState(new_scene, new_opt, new_stats, step), aux
@@ -232,17 +233,27 @@ class Trainer:
                 if it > cfg.densify_from_iter and it % cfg.densification_interval == 0:
                     # A truncated binning emission grid silently degrades
                     # training quality (the CUDA path is uncapped,
-                    # rasterizer_impl.cu:291-305) — check the overflow flag
-                    # at densify cadence and grow dup_capacity when it trips.
+                    # rasterizer_impl.cu:291-305) — check the overflow flags
+                    # at densify cadence and grow the knob that tripped:
+                    # emission truncation -> phase_a_tiles (+ max_per_tile
+                    # on the tiled path), prefix truncation -> dup_capacity.
                     if bool(np.asarray(aux["overflow"])):
-                        new_dup = self.settings.dup_capacity * 2
+                        if bool(np.asarray(aux["overflow_emit"])):
+                            upd = {
+                                "phase_a_tiles": self.settings.phase_a_tiles * 2
+                            }
+                            if self.settings.renderer == "tiled":
+                                upd["max_per_tile"] = (
+                                    self.settings.max_per_tile * 2
+                                )
+                        else:
+                            upd = {
+                                "dup_capacity": self.settings.dup_capacity * 2
+                            }
                         self.history.append(
-                            {"iter": it, "event": "dup_capacity_grow",
-                             "dup_capacity": new_dup}
+                            {"iter": it, "event": "raster_capacity_grow", **upd}
                         )
-                        self.settings = self.settings._replace(
-                            dup_capacity=new_dup
-                        )
+                        self.settings = self.settings._replace(**upd)
                     max_screen = 20.0 if it > cfg.opacity_reset_interval else 0.0
                     self._maybe_grow()
                     self.key, k2 = jax.random.split(self.key)
