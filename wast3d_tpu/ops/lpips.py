@@ -44,8 +44,11 @@ _VGG16_LAYERS = [
 _CAPTURE_RELU = (3, 8, 15, 22, 29)  # relu1_2, 2_2, 3_3, 4_3, 5_3
 _CHANNELS = (64, 128, 256, 512, 512)
 
-_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# The reference's z-score constants (`lpipsPyTorch/modules/networks.py:41-44`
+# BaseNet buffers) — NOT the ImageNet mean/std; metrics.py feeds [0,1]
+# images straight into this normalization.
+_MEAN = np.array([-0.030, -0.088, -0.188], np.float32)
+_STD = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 class LPIPS:
@@ -97,14 +100,18 @@ class LPIPS:
 
                 sd = torch.load(path, map_location="cpu", weights_only=True)
                 data = {k: np.asarray(v) for k, v in sd.items()}
-            # keys like lin0.model.1.weight: [1, C, 1, 1]
-            return [
-                np.asarray(
-                    data.get(f"lin{i}.model.1.weight", data.get(f"{i}.weight")),
-                    np.float32,
-                ).reshape(-1)
-                for i in range(5)
-            ]
+            # Accept the raw download keys (lin0.model.1.weight), the
+            # reference's renamed form "0.1.weight"
+            # (`lpipsPyTorch/modules/utils.py:22-28`), and plain "0.weight".
+            def pick(i):
+                for k in (f"lin{i}.model.1.weight", f"{i}.1.weight",
+                          f"{i}.weight"):
+                    if k in data:
+                        return data[k]
+                raise KeyError(f"no lin weight for layer {i} in {list(data)[:8]}")
+
+            return [np.asarray(pick(i), np.float32).reshape(-1)
+                    for i in range(5)]
         return [np.full(c, 1.0 / c, np.float32) for c in _CHANNELS]
 
     def _features(self, img: jnp.ndarray) -> List[jnp.ndarray]:
