@@ -130,6 +130,13 @@ def main():
     # "stylization steps/sec"): vmapped ball-fit Adam steps.
     styl_steps_s = _bench_stylize_fit()
 
+    # BASELINE ladder config 3 (1M Gaussians @ 1296x832, the garden-scale
+    # single-chip point) and config 5 (style sweep), recorded in aux so
+    # BENCH artifacts track the whole ladder (BENCH_LADDER=0 skips).
+    ladder = {}
+    if os.environ.get("BENCH_LADDER", "1") != "0":
+        ladder = _bench_ladder(iters=max(4, iters // 4))
+
     baseline_mpix = 207.4  # upstream 3DGS ">100FPS @1080p" claim
     # Reference stylization throughput context: its fit is SEQUENTIAL,
     # 1000 Adam steps per ball (notebook 11 cell 28); there is no
@@ -147,10 +154,106 @@ def main():
                     "stylize_ball_steps_per_s": round(styl_steps_s, 2),
                     "device": str(jax.devices()[0]),
                     "n_gaussians": n,
+                    **ladder,
                 },
             }
         )
     )
+
+
+def _bench_ladder(iters=5):
+    """BASELINE configs 3 + 5: 1M @ 1296x832 fwd/train, style-sweep fit."""
+    import jax
+    import jax.numpy as jnp
+
+    from wast3d_tpu.config import OptimizationConfig
+    from wast3d_tpu.core.camera import look_at_camera
+    from wast3d_tpu.ops.rasterizer import api
+    from wast3d_tpu.train import reconstruct as R
+
+    n, w, h = 1_000_000, 1296, 832
+    scene = _build(n, cap=n)
+    cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
+                         fovx=0.9, fovy=0.9, width=w, height=h)
+    bg = jnp.zeros(3)
+    settings = api.RasterizeSettings(
+        renderer="pallas", dup_capacity=6 * n, max_per_tile=1024, chunk=32
+    )
+
+    @jax.jit
+    def fwd(scene, camera, bg):
+        return api.render(camera, scene, bg, settings=settings)["render"]
+
+    out = fwd(scene, cam, bg)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(scene, cam, bg)
+    jax.block_until_ready(out)
+    mpix_1m = (w * h / 1e6) / ((time.perf_counter() - t0) / iters)
+
+    state = R.init_train_state(scene, OptimizationConfig(), 1.0)
+    key = jax.random.PRNGKey(0)
+
+    def step(st):
+        st, _ = R.train_step(
+            st, cam, out, bg, key, opt_cfg=OptimizationConfig(),
+            settings=settings, width=w, height=h, jitter=False,
+        )
+        return st
+
+    st = step(state)
+    jax.block_until_ready(st.scene.xyz)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st = step(st)
+    jax.block_until_ready(st.scene.xyz)
+    train_1m = iters / (time.perf_counter() - t0)
+
+    # Config 5: style sweep = the fit vmapped over a style axis. On one
+    # chip this measures the vmap batching win; on a mesh the style axis
+    # shards over 'data' (stylize/sweep.py).
+    sweep_bs = _bench_sweep_fit()
+    return {
+        "mpix_1m_1296x832": round(mpix_1m, 2),
+        "train_step_per_s_1m": round(train_1m, 3),
+        "sweep_ball_steps_per_s": round(sweep_bs, 2),
+    }
+
+
+def _bench_sweep_fit(num_styles=2, num_balls=4, patch_pts=2000,
+                     ball_pts=1024, steps=100):
+    import jax
+    import jax.numpy as jnp
+
+    from wast3d_tpu.config import StylizeConfig
+    from wast3d_tpu.stylize import fit as fit_mod
+    from wast3d_tpu.stylize.sweep import fit_balls_sweep
+
+    rng = np.random.default_rng(0)
+    cfg = StylizeConfig(fit_steps=steps)
+    patches, descs = [], []
+    for s in range(num_styles):
+        gx, gy = np.meshgrid(np.linspace(-1, 1, 50),
+                             np.linspace(-1, 1, patch_pts // 50))
+        p = np.stack([gx.ravel(), gy.ravel(),
+                      rng.normal(size=patch_pts) * 0.01], 1
+                     ).astype(np.float32) * 0.25
+        patches.append(p)
+        descs.append(fit_mod.compute_target_descriptors(p, cfg))
+    targets = jnp.asarray(np.stack(patches))
+    descs = jax.tree.map(lambda *xs: jnp.stack(xs), *descs)
+    balls = rng.normal(size=(num_styles, num_balls, ball_pts, 3)
+                       ).astype(np.float32)
+    balls /= np.maximum(np.linalg.norm(balls, axis=-1, keepdims=True), 1e-6)
+    mask = jnp.ones((num_styles, num_balls, ball_pts), bool)
+
+    out = fit_balls_sweep(targets, descs, jnp.asarray(balls), mask, cfg)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fit_balls_sweep(targets, descs, jnp.asarray(balls), mask, cfg)
+    jax.block_until_ready(out)
+    return num_styles * num_balls * steps / (time.perf_counter() - t0)
 
 
 def _bench_stylize_fit(num_balls=8, patch_pts=2000, ball_pts=1024, steps=200):

@@ -111,6 +111,24 @@ class TestDescriptors:
         td2 = fit.compute_target_descriptors(pts + 5.0, cfg)
         np.testing.assert_allclose(td1.desc_global, td2.desc_global, atol=1e-4)
 
+    def test_domain_loss_streaming_matches_dense(self):
+        """The blockwise-kNN form (large domains) must equal the dense
+        top-k form (small domains) — same masked-sum identity."""
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(size=(40, 3)), jnp.float32)
+        dom = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+        mask = jnp.asarray(rng.uniform(size=64) > 0.3)
+        for k in (1, 5, 20):
+            ld = fit.domain_adaptation_loss(x, dom, mask, k, dense_block=4096)
+            ls = fit.domain_adaptation_loss(x, dom, mask, k, dense_block=1)
+            assert float(ld) == pytest.approx(float(ls), rel=1e-5)
+        # row-capped variant agrees too
+        ld = fit.domain_adaptation_loss(x, dom, mask, 5, x_rows=25,
+                                        dense_block=4096)
+        ls = fit.domain_adaptation_loss(x, dom, mask, 5, x_rows=25,
+                                        dense_block=1)
+        assert float(ld) == pytest.approx(float(ls), rel=1e-5)
+
     def test_domain_loss_masks_padding(self):
         x = jnp.asarray(np.random.default_rng(1).normal(size=(16, 3)), jnp.float32)
         dom = jnp.zeros((32, 3))

