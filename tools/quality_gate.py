@@ -1,0 +1,205 @@
+"""Reconstruction quality gate: full training loop -> held-out PSNR.
+
+The reference's implicit quality bar is reproducing 3DGS PSNR at 7k/30k
+on real scenes (`/root/reference/full_eval.py:67-68`, `metrics.py:71-83`).
+No reference-class capture datasets ship in this environment, so this
+gate builds a *consistent 3D scene* the honest way: a procedural
+ground-truth Gaussian scene is rendered from many viewpoints (novel-view
+geometry included), the training pipeline then reconstructs it FROM
+RANDOM INIT — exercising densify/clone/split/prune, the LR schedule, SH
+warm-up, opacity resets, capacity growth — and held-out views score
+PSNR. A reconstruction-capable pipeline must recover the scene; any
+regression in the rasterizer VJP, densification logic, or schedules
+shows up as a PSNR drop on views it never trained on.
+
+Usage:  python tools/quality_gate.py [--iters 7000] [--out runs/qgate]
+Writes <out>/quality_gate.json {psnr_test, psnr_train, iters, ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _enable_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def make_gt_scene(n_blobs=60, pts_per_blob=150, seed=3):
+    """Procedural ground truth: colored Gaussian blobs on and inside a
+    sphere shell — enough structure that reconstruction needs thousands
+    of well-placed splats."""
+    import jax.numpy as jnp
+
+    from wast3d_tpu.core.sh import rgb_to_sh
+    from wast3d_tpu.core.transforms import inverse_sigmoid
+    from wast3d_tpu.scene import gaussians as G
+
+    rng = np.random.default_rng(seed)
+    xyz, rgb, scal = [], [], []
+    for _ in range(n_blobs):
+        c = rng.normal(size=3)
+        c = c / np.linalg.norm(c) * rng.uniform(0.5, 1.0)
+        color = rng.uniform(0.1, 0.95, 3)
+        sigma = rng.uniform(0.02, 0.08)
+        p = c + rng.normal(size=(pts_per_blob, 3)) * sigma
+        xyz.append(p)
+        rgb.append(np.tile(color, (pts_per_blob, 1))
+                   * rng.uniform(0.7, 1.3, (pts_per_blob, 1)).clip(0, 1))
+        scal.append(np.full((pts_per_blob, 3), sigma * 0.6))
+    xyz = np.concatenate(xyz).astype(np.float32)
+    rgb = np.clip(np.concatenate(rgb), 0, 1).astype(np.float32)
+    scal = np.log(np.concatenate(scal)).astype(np.float32)
+    n = len(xyz)
+    return G.from_arrays(
+        xyz=xyz,
+        features_dc=np.asarray(rgb_to_sh(jnp.asarray(rgb)))[:, None, :],
+        features_rest=np.zeros((n, 15, 3), np.float32),
+        scaling=scal,
+        rotation=np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1)),
+        opacity=np.asarray(inverse_sigmoid(jnp.full((n, 1), 0.92))),
+        capacity=n,
+    )
+
+
+def make_dataset(root, res=400, n_train=40, n_test=5):
+    """Render the GT scene into a Blender-format dataset (train +
+    transforms_test.json held-out views)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from wast3d_tpu.core.camera import make_camera
+    from wast3d_tpu.ops.rasterizer import api
+
+    scene = make_gt_scene()
+    settings = api.RasterizeSettings(
+        renderer="pallas", dup_capacity=1 << 20, phase_a_tiles=16
+    )
+    os.makedirs(root, exist_ok=True)
+    fovx = 0.8
+
+    @jax.jit
+    def render(cam_scene, camera):
+        return api.render(camera, cam_scene, jnp.zeros(3),
+                          settings=settings)["render"]
+
+    def pose(i, total, phase):
+        th = 2 * np.pi * i / total + phase
+        el = 0.35 * np.sin(3 * th + phase)
+        eye = 4.0 * np.array([np.cos(th) * np.cos(el), np.sin(el),
+                              np.sin(th) * np.cos(el)])
+        # c2w with -z forward toward origin, y up (Blender convention).
+        fwd = -eye / np.linalg.norm(eye)
+        right = np.cross(fwd, [0, 1, 0])
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        c2w = np.eye(4)
+        c2w[:3, 0] = right
+        c2w[:3, 1] = up
+        c2w[:3, 2] = -fwd
+        c2w[:3, 3] = eye
+        return c2w
+
+    def write_split(name, count, phase):
+        frames = []
+        for i in range(count):
+            c2w = pose(i, count, phase)
+            # Blender->COLMAP the way our loader does it (flip y,z cols).
+            c2w_cv = c2w.copy()
+            c2w_cv[:3, 1:3] *= -1
+            w2c = np.linalg.inv(c2w_cv)
+            R = w2c[:3, :3].T
+            t = w2c[:3, 3]
+            cam = make_camera(R, t, fovx=fovx, fovy=fovx, width=res,
+                              height=res)
+            img = np.asarray(render(scene, cam))
+            rgba = np.concatenate(
+                [np.clip(img, 0, 1), np.ones((res, res, 1))], -1)
+            fname = f"{name}_{i}"
+            Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(
+                os.path.join(root, f"{fname}.png"))
+            frames.append({"file_path": f"./{fname}",
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(root, f"transforms_{name}.json"), "w") as f:
+            json.dump({"camera_angle_x": fovx, "frames": frames}, f)
+
+    write_split("train", n_train, 0.0)
+    write_split("test", n_test, 0.123)
+    return root
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=7000)
+    ap.add_argument("--res", type=int, default=400)
+    ap.add_argument("--out", default="runs/qgate")
+    ap.add_argument("--data", default=None, help="reuse an existing dataset")
+    args = ap.parse_args()
+    _enable_cache()
+
+    import jax.numpy as jnp
+
+    from wast3d_tpu.config import OptimizationConfig
+    from wast3d_tpu.ops.image_losses import psnr
+    from wast3d_tpu.ops.rasterizer import api
+    from wast3d_tpu.scene.datasets import build_cameras, load_scene_info
+    from wast3d_tpu.train.driver import train_scene
+
+    t0 = time.time()
+    data = args.data or os.path.join(args.out, "data")
+    if not os.path.exists(os.path.join(data, "transforms_train.json")):
+        make_dataset(data, res=args.res)
+        print(f"dataset rendered ({time.time() - t0:.0f}s)")
+
+    model = os.path.join(args.out, "model")
+    opt = OptimizationConfig(
+        iterations=args.iters,
+        position_lr_max_steps=args.iters,
+        densify_until_iter=args.iters // 2,
+    )
+    settings = api.RasterizeSettings(
+        renderer="pallas", dup_capacity=1 << 20, phase_a_tiles=16
+    )
+    trainer = train_scene(
+        source_path=data, model_path=model, iterations=args.iters,
+        eval_split=True, save_iterations=[args.iters],
+        opt_cfg=opt, settings=settings, quiet=True, log_every=500,
+    )
+    print(f"trained {args.iters} iters ({time.time() - t0:.0f}s), "
+          f"N={int(trainer.state.scene.num_active)}")
+
+    # Held-out PSNR through the trained scene.
+    info = load_scene_info(data, eval_split=True)
+    res = {}
+    for split, cams_info in (("test", info.test_cameras),
+                             ("train", info.train_cameras[:5])):
+        vals = []
+        for cam, gt in build_cameras(cams_info):
+            out = api.render(cam, trainer.state.scene, jnp.zeros(3),
+                             settings=trainer.settings)
+            vals.append(float(psnr(out["render"], gt)))
+        res[f"psnr_{split}"] = round(float(np.mean(vals)), 3)
+    res.update(iters=args.iters, res=args.res,
+               n_gaussians=int(trainer.state.scene.num_active),
+               wall_s=round(time.time() - t0, 1),
+               events=[h for h in trainer.history if "event" in h][-20:])
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "quality_gate.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({k: v for k, v in res.items() if k != "events"}))
+
+
+if __name__ == "__main__":
+    main()

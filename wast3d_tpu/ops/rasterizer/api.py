@@ -49,6 +49,8 @@ class RasterizeSettings(NamedTuple):
     pallas_interpret: bool = False
     phase_a_tiles: int = 8  # binning phase-A slots per gaussian
     big_budget_divisor: int = 16  # phase-B budget = N / divisor
+    route_capacity: int = 0  # tile-sharded render: per-destination-shard
+    # duplicate slots for the all_to_all (0 = auto from dup_capacity)
 
 
 def random_sampling_offsets(key: jax.Array, height: int, width: int) -> jnp.ndarray:
