@@ -246,9 +246,13 @@ class TestTileShardedRender:
         np.testing.assert_allclose(
             np.asarray(got["render"][:h]), np.asarray(want["render"]),
             atol=1e-5)
+        # Depth values are O(camera distance); the blend kernel's
+        # split-bf16 matmuls round differently when tile ranges start at
+        # different 128-chunk offsets (sharded vs single-device binning),
+        # so exact match is rtol ~1.5e-5, not bit-identical.
         np.testing.assert_allclose(
             np.asarray(got["depth"][:h]), np.asarray(want["depth"]),
-            atol=1e-5)
+            atol=1e-3)
         np.testing.assert_allclose(
             np.asarray(got["final_T"][:h]), np.asarray(want["final_T"]),
             atol=1e-6)

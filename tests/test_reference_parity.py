@@ -60,11 +60,18 @@ def ref():
         sys.path.insert(0, REF)
     # gaussian_model imports plyfile + simple_knn._C at module scope but
     # only uses them in PLY IO / create_from_pcd, which we don't call.
-    sys.modules.setdefault("plyfile", types.SimpleNamespace(
-        PlyData=None, PlyElement=None))
-    sys.modules.setdefault("simple_knn", types.SimpleNamespace())
-    sys.modules.setdefault("simple_knn._C", types.SimpleNamespace(
-        distCUDA2=None))
+    # Track what we stub and remove it in teardown — a lingering fake
+    # plyfile makes test_scene_ply_knn's importorskip("plyfile") pick up
+    # the stub instead of skipping (test-order pollution).
+    stubbed = []
+    for name, stub in [
+        ("plyfile", types.SimpleNamespace(PlyData=None, PlyElement=None)),
+        ("simple_knn", types.SimpleNamespace()),
+        ("simple_knn._C", types.SimpleNamespace(distCUDA2=None)),
+    ]:
+        if name not in sys.modules:
+            sys.modules[name] = stub
+            stubbed.append(name)
 
     import utils.general_utils as general
     import utils.graphics_utils as graphics
@@ -82,9 +89,11 @@ def ref():
     cameras = load_flat("ref_cameras", os.path.join(REF, "scene/cameras.py"))
     gm = load_flat("ref_gaussian_model",
                    os.path.join(REF, "scene/gaussian_model.py"))
-    return types.SimpleNamespace(general=general, graphics=graphics,
-                                 image=image, sh=shu, cameras=cameras,
-                                 gaussian_model=gm)
+    yield types.SimpleNamespace(general=general, graphics=graphics,
+                                image=image, sh=shu, cameras=cameras,
+                                gaussian_model=gm)
+    for name in stubbed:
+        sys.modules.pop(name, None)
 
 
 class TestSHParity:

@@ -47,7 +47,7 @@ class RasterizeSettings(NamedTuple):
     chunk: int = 32
     max_tiles_per_gaussian: int = 512
     pallas_interpret: bool = False
-    phase_a_tiles: int = 8  # binning phase-A slots per gaussian
+    phase_a_tiles: int = 6  # binning phase-A slots per gaussian
     big_budget_divisor: int = 16  # phase-B budget = N / divisor
     route_capacity: int = 0  # tile-sharded render: per-destination-shard
     # duplicate slots for the all_to_all (0 = auto from dup_capacity)

@@ -109,7 +109,7 @@ def bin_gaussians(
     height: int,
     dup_capacity: int,
     max_tiles_per_gaussian: int = 512,
-    phase_a_tiles: int = 8,
+    phase_a_tiles: int = 6,
     big_budget_divisor: int = 16,
 ) -> Binning:
     """Build the depth-sorted per-tile Gaussian lists."""
@@ -121,21 +121,24 @@ def bin_gaussians(
     packable = (num_tiles + 1) * n <= (1 << 32)
 
     # 1. Depth pre-sort (invalid to the back). A 1-key sort with an iota
-    # payload beats argsort's internal comparator on TPU.
+    # payload beats argsort's internal comparator on TPU. Emission then
+    # runs in ORIGINAL gaussian order carrying each gaussian's depth
+    # *rank* (the inverse permutation, recovered by a second small sort):
+    # physically reordering means2d/radii first costs two N-row random
+    # gathers (~2.1ms at 200k on v5e) vs ~0.4ms for the extra sort.
     iota = jnp.arange(n, dtype=jnp.int32)
     _, order = jax.lax.sort(
         (jnp.where(radii > 0, depths, jnp.inf), iota), dimension=0, num_keys=1
     )
-    means2d_s = means2d[order]
-    radii_s = radii[order]
+    _, rank_of = jax.lax.sort((order, iota), dimension=0, num_keys=1)
 
-    xmin, ymin, xmax, _ymax = compute_rects(means2d_s, radii_s, grid_x, grid_y)
+    xmin, ymin, xmax, _ymax = compute_rects(means2d, radii, grid_x, grid_y)
     rect_w = xmax - xmin
     tiles_touched = rect_w * (_ymax - ymin)
 
     # 2. Multi-phase emission budget: every Gaussian gets `phase_a_tiles`
-    # slots; progressively rarer big Gaussians (depth-ranked, cumsum
-    # selection - top_k at k ~ N/16 costs tens of ms) get progressively
+    # slots; progressively rarer big Gaussians (cumsum selection by
+    # original index - top_k at k ~ N/16 costs tens of ms) get progressively
     # larger slot counts, up to max_tiles_per_gaussian for the rarest
     # (screen-filling splats near the camera). Bounds the emission grid at
     # ~1.5x the typical duplicate count while avoiding the visible tile
@@ -149,7 +152,8 @@ def bin_gaussians(
 
     def emission(xmin_s, ymin_s, rw_s, te_s, rank_s, r0, r_count):
         """Keys for rect positions [r0, r0+r_count) of the selected
-        (sorted-order) gaussians, laid out [slots, m] so lanes stay dense.
+        (original-order) gaussians, laid out [slots, m] so lanes stay
+        dense; rank_s carries each gaussian's depth rank into the key.
 
         The slot -> (tx, ty) decode uses float division: exact for
         a, b < 2^14 because fl(a/b)'s relative error 2^-24 cannot bridge
@@ -174,12 +178,13 @@ def bin_gaussians(
         rank2d = jnp.broadcast_to(rank_s[None, :], tile_id.shape)
         return tile_id.reshape(-1), rank2d.reshape(-1)
 
-    emitted.append(emission(xmin, ymin, rect_w, te, iota, 0, ra))
+    emitted.append(emission(xmin, ymin, rect_w, te, rank_of, 0, ra))
     for start, extra, budget in phases[1:]:
         wants = tiles_touched > start
         prank = jnp.cumsum(wants) - 1
         selected = wants & (prank < budget)
-        # Rank -> row table. Unfilled slots MUST be invalid (a default of
+        # Slot -> row table (budget scarcity resolves by original index,
+        # not depth). Unfilled slots MUST be invalid (a default of
         # row 0 would re-emit row 0's rect once per empty slot when row 0
         # is itself selected): mark them -1 and zero their slot budget.
         sel_idx = jnp.full((budget,), -1, jnp.int32).at[
@@ -195,7 +200,7 @@ def bin_gaussians(
         te_sel = jnp.where(slot_live, te[sel_safe], 0)
         emitted.append(
             emission(xmin[sel_safe], ymin[sel_safe], rect_w[sel_safe],
-                     te_sel, sel_safe, start, extra)
+                     te_sel, rank_of[sel_safe], start, extra)
         )
     total = jnp.sum(te)
     ovf_dup = jnp.zeros((), bool)

@@ -69,20 +69,41 @@ ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 
-_HIGH = jax.lax.Precision.HIGHEST  # f32-exact triangular scans
-_ACC = jax.lax.Precision.HIGH  # bf16x3: ample for blend accumulation
+
+
+# Split-bf16 matmul scheme: an f32 MXU matmul lowers to ~6 bf16 passes on
+# v5e (measured: each f32 (P,G) matmul here costs ~1.7ms/frame at 856k
+# dups vs ~0.3ms in bf16). Splitting an operand x = hi + lo with
+# hi = bf16(x), lo = bf16(x - hi) keeps ~16 mantissa bits through the
+# product; the triangular masks are 0/1 (EXACT in bf16), so the scans
+# need only the 2 split passes, and the accumulation matmul needs 3
+# (hi*hi + lo*hi + hi*lo; the dropped lo*lo term is ~1.5e-5 relative).
+
+
+def _split2(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _split_dot(x, u_bf16):
+    """x @ u for 0/1-valued u, f32-accurate at 2 bf16 MXU passes."""
+    hi, lo = _split2(x)
+    return (
+        jax.lax.dot(hi, u_bf16, preferred_element_type=jnp.float32)
+        + jax.lax.dot(lo, u_bf16, preferred_element_type=jnp.float32)
+    )
 
 
 def _tri_strict_upper():
     r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-    return (r < c).astype(jnp.float32)  # U[k,j]=1 iff k<j
-
+    return (r < c).astype(jnp.bfloat16)  # U[k,j]=1 iff k<j
 
 def _tri_incl_upper():
     r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-    return (r <= c).astype(jnp.float32)
+    return (r <= c).astype(jnp.bfloat16)
 
 
 def _chunk_quantities(data, px, py, logT, done, start, end, off):
@@ -111,7 +132,7 @@ def _chunk_quantities(data, px, py, logT, done, start, end, off):
     # Exclusive scan as a strictly-triangular matmul: benchmarked FASTER
     # than a log-doubling roll+add lane scan on v5e (lane shuffles are
     # expensive; the MXU eats the (G,G) product).
-    excl = jax.lax.dot(s, _tri_strict_upper(), precision=_HIGH)  # (P,G)
+    excl = _split_dot(s, _tri_strict_upper())  # (P,G)
     T_prev = jnp.exp(logT + excl)
     test_T = T_prev * (1.0 - alpha)
     trig = ((test_T < T_EPS) & (alpha > 0.0)).astype(jnp.float32)
@@ -168,9 +189,18 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
             alpha, T_prev, done_incl, w, trig = _chunk_quantities(
                 data, px, py, logT, done, start, end, off
             )
-            acc = acc + jax.lax.dot_general(
-                w, data, (((1,), (1,)), ((), ())),
-                precision=_HIGH, preferred_element_type=jnp.float32,
+            # acc += w @ data^T at 3 bf16 passes (see _split2 doc).
+            w_hi, w_lo = _split2(w)
+            d_hi, d_lo = _split2(data)
+            dims = (((1,), (1,)), ((), ()))
+            acc = (
+                acc
+                + jax.lax.dot_general(
+                    w_hi, d_hi, dims, preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    w_lo, d_hi, dims, preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    w_hi, d_lo, dims, preferred_element_type=jnp.float32)
             )  # (P,16)
             contributed = jnp.where(done_incl, 0.0, alpha)
             logT = logT + jnp.sum(jnp.log1p(-contributed), axis=1, keepdims=True)
@@ -198,12 +228,20 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
 
 
 def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
-                dzero_hbm, dout_hbm, data_vmem, dout_vmem, state_vmem,
+                dzero_hbm, dout_hbm, data_vmem, din_vmem, dout_vmem,
                 sem, isem, osem):
     """Backward walk with read-modify-write accumulation (see module doc),
-    TPP tiles per program and double-buffered input DMA.
+    TPP tiles per program and double-buffered input DMA. Early-exits once
+    every pixel saturates, exactly like the forward — later entries have
+    w = 0 and contribute zero gradient, and their (pre-zeroed, aliased)
+    output blocks are simply never touched.
 
-    state_vmem cols: 0 = logT, 1 = done, 2 = prefix (each (P, 1))."""
+    The RMW is fully pipelined: the read of output block c+1 is
+    prefetched with the input DMA for chunk c+1 (distinct offsets within
+    a tile, so it cannot race this tile's writes), and writes are async
+    with a slot-reuse wait two chunks later; each tile drains its
+    outstanding writes before returning, which is what makes the next
+    tile's first read (the shared 128-aligned boundary block) safe."""
     prog = pl.program_id(0)
 
     def one_tile(ti, _):
@@ -220,113 +258,139 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
         astart = (start // G) * G
         nchunks = pl.cdiv(jnp.maximum(end - astart, 0), G)
 
-        state_vmem[:, :] = jnp.zeros((P, 4), jnp.float32)
-
         def in_dma(slot, c):
             return pltpu.make_async_copy(
                 data_hbm.at[:, pl.ds(astart + c * G, G)],
                 data_vmem.at[slot], sem.at[slot],
             )
 
+        def out_read(slot, c):
+            return pltpu.make_async_copy(
+                dout_hbm.at[:, pl.ds(astart + c * G, G)],
+                din_vmem.at[slot], isem.at[slot],
+            )
+
+        def out_write(slot, c):
+            return pltpu.make_async_copy(
+                dout_vmem.at[slot],
+                dout_hbm.at[:, pl.ds(astart + c * G, G)], osem.at[slot],
+            )
+
         @pl.when(nchunks > 0)
         def _():
             in_dma(0, 0).start()
+            out_read(0, 0).start()
 
-        def body(c, _):
+        def cond(state):
+            c, logT, done, prefix = state
+            return (c < nchunks) & (jnp.min(done) < 0.5)
+
+        def body(state):
+            c, logT, done, prefix = state
             off = astart + c * G
-            done = state_vmem[:, 1:2]
-            active = jnp.min(done) < 0.5
             slot = jax.lax.rem(c, 2)
 
             @pl.when(c + 1 < nchunks)
             def _():
                 in_dma(1 - slot, c + 1).start()
+                out_read(1 - slot, c + 1).start()
 
             in_dma(slot, c).wait()
+            data = data_vmem[slot]
+            alpha, T_prev, done_incl, w, trig = _chunk_quantities(
+                data, px, py, logT, done, start, end, off
+            )
 
-            @pl.when(active)
+            # q[p,g] = gc . rgb_g + gd * depth_g
+            q = (
+                data[R_R:R_R + 1, :] * gcr
+                + data[R_G:R_G + 1, :] * gcg
+                + data[R_B2:R_B2 + 1, :] * gcb
+                + data[R_DEPTH:R_DEPTH + 1, :] * gd
+            )  # (P,G)
+            qw = q * w
+            prefix_incl = prefix + _split_dot(qw, _tri_incl_upper())
+            live = w > 0.0
+            one_m = 1.0 - alpha
+            dalpha = jnp.where(
+                live, q * T_prev - (s_total - prefix_incl) / one_m, 0.0
+            )
+
+            opa = data[R_OPA:R_OPA + 1, :]
+            # alpha = min(0.99, opa*exp(power)); clamp kills the grad.
+            unclamped = (alpha < ALPHA_MAX) & live
+            exp_pow = jnp.where(opa > 0.0, alpha / opa, 0.0)
+            dopa = jnp.sum(jnp.where(unclamped, dalpha * exp_pow, 0.0),
+                           axis=0, keepdims=True)  # (1,G)
+            dpow = jnp.where(unclamped, dalpha * alpha, 0.0)
+
+            A = data[R_A:R_A + 1, :]
+            B = data[R_B:R_B + 1, :]
+            CC = data[R_CC:R_CC + 1, :]
+            mx = data[R_MX:R_MX + 1, :]
+            my = data[R_MY:R_MY + 1, :]
+            dx = mx - px
+            dy = my - py
+            dmx = jnp.sum(dpow * (-A * dx - B * dy), axis=0, keepdims=True)
+            dmy = jnp.sum(dpow * (-CC * dy - B * dx), axis=0, keepdims=True)
+            dA = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
+            dB = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
+            dC = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
+            ddepth = jnp.sum(w * gd, axis=0, keepdims=True)
+            dr = jnp.sum(w * gcr, axis=0, keepdims=True)
+            dg = jnp.sum(w * gcg, axis=0, keepdims=True)
+            db = jnp.sum(w * gcb, axis=0, keepdims=True)
+
+            zero = jnp.zeros((1, G), jnp.float32)
+            dgrad = jnp.concatenate(
+                [dmx, dmy, dA, dB, dC, dopa, ddepth, dr, dg, db,
+                 zero, zero, zero, zero, zero, zero], axis=0
+            )  # (16,G)
+
+            # Read-modify-write, pipelined: the block's prior contents
+            # were prefetched into din_vmem[slot]; wait for the write
+            # that last used this dout slot (chunk c-2) before reusing.
+            out_read(slot, c).wait()
+
+            @pl.when(c >= 2)
             def _():
-                data = data_vmem[slot]
-                logT = state_vmem[:, 0:1]
-                prefix = state_vmem[:, 2:3]
-                alpha, T_prev, done_incl, w, trig = _chunk_quantities(
-                    data, px, py, logT, done, start, end, off
-                )
+                out_write(slot, c - 2).wait()
 
-                # q[p,g] = gc . rgb_g + gd * depth_g
-                q = (
-                    data[R_R:R_R + 1, :] * gcr
-                    + data[R_G:R_G + 1, :] * gcg
-                    + data[R_B2:R_B2 + 1, :] * gcb
-                    + data[R_DEPTH:R_DEPTH + 1, :] * gd
-                )  # (P,G)
-                qw = q * w
-                prefix_incl = prefix + jax.lax.dot(
-                    qw, _tri_incl_upper(), precision=_HIGH
-                )
-                live = w > 0.0
-                one_m = 1.0 - alpha
-                dalpha = jnp.where(
-                    live, q * T_prev - (s_total - prefix_incl) / one_m, 0.0
-                )
+            dout_vmem[slot] = din_vmem[slot] + dgrad
+            out_write(slot, c).start()
 
-                opa = data[R_OPA:R_OPA + 1, :]
-                # alpha = min(0.99, opa*exp(power)); clamp kills the grad.
-                unclamped = (alpha < ALPHA_MAX) & live
-                exp_pow = jnp.where(opa > 0.0, alpha / opa, 0.0)
-                dopa = jnp.sum(jnp.where(unclamped, dalpha * exp_pow, 0.0),
-                               axis=0, keepdims=True)  # (1,G)
-                dpow = jnp.where(unclamped, dalpha * alpha, 0.0)
+            contributed = jnp.where(done_incl, 0.0, alpha)
+            logT = logT + jnp.sum(
+                jnp.log1p(-contributed), axis=1, keepdims=True
+            )
+            done = jnp.maximum(done, jnp.max(trig, axis=1, keepdims=True))
+            prefix = prefix + jnp.sum(qw, axis=1, keepdims=True)
+            return c + 1, logT, done, prefix
 
-                A = data[R_A:R_A + 1, :]
-                B = data[R_B:R_B + 1, :]
-                CC = data[R_CC:R_CC + 1, :]
-                mx = data[R_MX:R_MX + 1, :]
-                my = data[R_MY:R_MY + 1, :]
-                dx = mx - px
-                dy = my - py
-                dmx = jnp.sum(dpow * (-A * dx - B * dy), axis=0, keepdims=True)
-                dmy = jnp.sum(dpow * (-CC * dy - B * dx), axis=0, keepdims=True)
-                dA = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
-                dB = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
-                dC = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
-                ddepth = jnp.sum(w * gd, axis=0, keepdims=True)
-                dr = jnp.sum(w * gcr, axis=0, keepdims=True)
-                dg = jnp.sum(w * gcg, axis=0, keepdims=True)
-                db = jnp.sum(w * gcb, axis=0, keepdims=True)
+        init = (
+            jnp.int32(0),
+            jnp.zeros((P, 1), jnp.float32),
+            jnp.zeros((P, 1), jnp.float32),
+            jnp.zeros((P, 1), jnp.float32),
+        )
+        c_final, _logT, _done, _prefix = jax.lax.while_loop(cond, body, init)
 
-                zero = jnp.zeros((1, G), jnp.float32)
-                dgrad = jnp.concatenate(
-                    [dmx, dmy, dA, dB, dC, dopa, ddepth, dr, dg, db,
-                     zero, zero, zero, zero, zero, zero], axis=0
-                )  # (16,G)
+        # Drain prefetched-but-unconsumed copies after an early exit.
+        @pl.when((c_final < nchunks) & (c_final > 0))
+        def _():
+            in_dma(jax.lax.rem(c_final, 2), c_final).wait()
+            out_read(jax.lax.rem(c_final, 2), c_final).wait()
 
-                # Read-modify-write: accumulate into the shared boundary
-                # window (tiles processed in order; TPU grid is sequential).
-                icopy = pltpu.make_async_copy(
-                    dout_hbm.at[:, pl.ds(off, G)], dout_vmem, isem
-                )
-                icopy.start()
-                icopy.wait()
-                dout_vmem[:, :] = dout_vmem[:, :] + dgrad
-                ocopy = pltpu.make_async_copy(
-                    dout_vmem, dout_hbm.at[:, pl.ds(off, G)], osem
-                )
-                ocopy.start()
-                ocopy.wait()
+        # Drain outstanding writes (chunks c_final-1, c_final-2): the
+        # next tile's first block may alias this tile's last block.
+        @pl.when(c_final >= 2)
+        def _():
+            out_write(jax.lax.rem(c_final, 2), c_final - 2).wait()
 
-                contributed = jnp.where(done_incl, 0.0, alpha)
-                state_vmem[:, 0:1] = logT + jnp.sum(
-                    jnp.log1p(-contributed), axis=1, keepdims=True
-                )
-                state_vmem[:, 1:2] = jnp.maximum(
-                    done, jnp.max(trig, axis=1, keepdims=True)
-                )
-                state_vmem[:, 2:3] = prefix + jnp.sum(qw, axis=1, keepdims=True)
+        @pl.when(c_final >= 1)
+        def _():
+            out_write(jax.lax.rem(c_final - 1, 2), c_final - 1).wait()
 
-            return _
-
-        jax.lax.fori_loop(0, nchunks, body, None)
         return _
 
     jax.lax.fori_loop(0, TPP, one_tile, None)
@@ -397,12 +461,12 @@ def _blend_bwd_impl(packed, pixf, starts, ends, grads, *, num_tiles, interpret):
                 pl.BlockSpec(memory_space=pl.ANY),  # dpacked (manual DMA)
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, NROWS, G), jnp.float32),
-                pltpu.VMEM((NROWS, G), jnp.float32),
-                pltpu.VMEM((P, 4), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, NROWS, G), jnp.float32),  # data_vmem
+                pltpu.VMEM((2, NROWS, G), jnp.float32),  # din_vmem
+                pltpu.VMEM((2, NROWS, G), jnp.float32),  # dout_vmem
+                pltpu.SemaphoreType.DMA((2,)),  # sem
+                pltpu.SemaphoreType.DMA((2,)),  # isem
+                pltpu.SemaphoreType.DMA((2,)),  # osem
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((NROWS, K), jnp.float32)],

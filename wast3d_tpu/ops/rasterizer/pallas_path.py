@@ -39,7 +39,7 @@ def render_pallas(
     dup_capacity: int = 1 << 18,
     max_tiles_per_gaussian: int = 512,
     interpret: bool = False,
-    phase_a_tiles: int = 8,
+    phase_a_tiles: int = 6,
     big_budget_divisor: int = 16,
 ) -> RenderOutput:
     grid_x, grid_y = tile_grid(width, height)

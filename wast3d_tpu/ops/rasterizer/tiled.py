@@ -75,7 +75,7 @@ def render_tiled(
     max_per_tile: int = 1024,
     chunk: int = 32,
     max_tiles_per_gaussian: int = 512,
-    phase_a_tiles: int = 8,
+    phase_a_tiles: int = 6,
     big_budget_divisor: int = 16,
 ) -> RenderOutput:
     """Rasterize preprocessed Gaussians. All capacities static."""
