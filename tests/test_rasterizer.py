@@ -216,3 +216,28 @@ class TestGradients:
         g = np.asarray(jax.grad(loss_fn)(zeros))
         assert np.abs(g[:20]).max() > 1e-5  # live splats get screen-space grads
         assert np.abs(g[20:]).max() == 0.0  # dead slots get none
+
+    def test_view_depth_offset_grad(self):
+        # sbmdls_extra's cam_view_depth tap (sbmdls_extra/__init__.py:29):
+        # zeros in, per-Gaussian expected-depth gradient out. Check grads
+        # against finite differences through the depth image.
+        import jax
+
+        cam = _cam(w=24, h=24)
+        s = _random_scene(n=12, seed=7)
+        zeros = jnp.zeros((s.capacity,))
+        weights = jnp.linspace(0.5, 1.5, 24)[None, :]
+
+        def loss_fn(off):
+            out = api.render(cam, s, BLACK, view_depth_offset=off,
+                             settings=api.RasterizeSettings(renderer="oracle"))
+            return jnp.sum(out["depth"] * weights)
+
+        g = np.asarray(jax.grad(loss_fn)(zeros))
+        assert np.abs(g[:12]).max() > 1e-5
+        assert np.abs(g[12:]).max() == 0.0
+        eps = 1e-3
+        for i in [0, 5, 11]:
+            e = zeros.at[i].set(eps)
+            fd = (float(loss_fn(e)) - float(loss_fn(-e))) / (2 * eps)
+            np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=1e-4)

@@ -16,6 +16,13 @@ JAX-native differences:
   by densification. The camera-view-depth gradient needs no hack at all —
   autodiff routes depth gradients to means through the view matrix
   (what `backward.cu:395-397` hand-codes).
+- the `sbmdls_extra` variant (`/root/reference/sbmdls_extra/__init__.py:29`
+  — `cam_view_depth` shaped from `pc.ref_d`; the CUDA forward never reads
+  its values, it exists purely so backward can deposit dL/dcamViewDepth,
+  `rasterize_points.cu:159`) maps to the `view_depth_offset` input here:
+  pass zeros of shape [N] and differentiate with respect to it to obtain
+  the per-Gaussian expected-depth gradient that the reference's
+  `cam_view_depth.grad` carries.
 """
 
 from __future__ import annotations
@@ -68,6 +75,7 @@ def render(
     settings: RasterizeSettings = RasterizeSettings(),
     sampling_offsets: Optional[jnp.ndarray] = None,
     means2d_offset: Optional[jnp.ndarray] = None,
+    view_depth_offset: Optional[jnp.ndarray] = None,
     convert_shs_python: bool = False,
     compute_cov3d_python: bool = False,
 ) -> dict:
@@ -117,6 +125,12 @@ def render(
     )
     if means2d_offset is not None:
         prep = prep._replace(means2d=prep.means2d + means2d_offset)
+    if view_depth_offset is not None:
+        # sbmdls_extra `cam_view_depth` gradient tap (module doc): zeros
+        # in, grad out = per-Gaussian expected-depth gradient.
+        prep = prep._replace(
+            depths=prep.depths + jnp.reshape(view_depth_offset, (-1,))
+        )
 
     if settings.renderer == "oracle":
         color, depth, final_T = oracle_mod.render_oracle(

@@ -64,6 +64,7 @@ class Binning(NamedTuple):
     # gauss_idx costs an extra K-row gather that XLA DCEs when unused.
     depth_order: jnp.ndarray = None  # [N]
     rank: jnp.ndarray = None  # [K] index into depth order
+    rank_of: jnp.ndarray = None  # [N] inverse of depth_order (gaussian -> rank)
 
 
 def tile_grid(width: int, height: int) -> tuple:
@@ -252,5 +253,6 @@ def bin_gaussians(
         overflow_emit=ovf_emit,
         overflow_dup=ovf_dup,
         depth_order=order,
+        rank_of=rank_of,
         rank=sorted_rank,
     )
