@@ -207,6 +207,42 @@ class TestFit:
         np.testing.assert_allclose(np.asarray(f1), np.asarray(fb),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_desc_kernel_matches_streaming(self):
+        """The fused Pallas descriptor-loss kernel (desc_kernel=True,
+        interpreter mode on CPU) must match the streaming XLA path: loss,
+        gradient, and the vmapped fit trajectory."""
+        rng = np.random.default_rng(7)
+        m = 2048  # >= kernel threshold
+        pts = (rng.normal(size=(m, 3)) * 0.3).astype(np.float32)
+        base = dict(global_knn=32, global_stride=8, local_knn=8,
+                    fit_steps=4, domain_knn=4, ball_capacity=128,
+                    desc_block=1024)
+        cfg_s = StylizeConfig(**base)
+        cfg_k = StylizeConfig(**base, desc_kernel=True,
+                              pallas_interpret=True)
+        td_s = fit.compute_target_descriptors(pts, cfg_s)
+        td_k = fit.compute_target_descriptors(pts, cfg_k)
+        assert td_k.pair_code is not None
+        assert td_k.pair_code.shape == (m, m)
+
+        x = pts * 1.2 + (rng.normal(size=(m, 3)) * 0.05).astype(np.float32)
+        xp = jnp.asarray(x)
+        ls, gs = jax.value_and_grad(fit.descriptor_loss)(xp, td_s, 1024)
+        lk, gk = jax.value_and_grad(
+            lambda p: fit.descriptor_loss(p, td_k, 1024, interpret=True)
+        )(xp)
+        np.testing.assert_allclose(float(lk), float(ls), rtol=1e-5)
+        scale = np.abs(np.asarray(gs)).max()
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gs),
+                                   atol=scale * 1e-4)
+
+        balls = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        mask = jnp.ones((2, 128), bool)
+        fs = fit.fit_balls(jnp.asarray(pts), td_s, balls, mask, cfg_s)
+        fk = fit.fit_balls(jnp.asarray(pts), td_k, balls, mask, cfg_k)
+        np.testing.assert_allclose(np.asarray(fk), np.asarray(fs),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_fit_batched_matches_single(self):
         rng = np.random.default_rng(1)
         patch_pts = rng.normal(size=(32, 3)).astype(np.float32) * 0.2

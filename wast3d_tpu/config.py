@@ -110,6 +110,11 @@ class StylizeConfig:
     ball_capacity: int = 2048  # static padded points per coverage ball
     max_balls: int = 512  # static upper bound on coverage balls
     desc_block: int = 2048  # descriptor-loss column block (memory knob)
+    # Fused Pallas descriptor-loss kernel (stylize/desc_kernel.py): ~8x on
+    # large patches, costs an [Mp, Mp] uint8 pair-code matrix in HBM.
+    # Applied when the padded patch is >= 2048 points.
+    desc_kernel: bool = False
+    pallas_interpret: bool = False  # run stylize kernels interpreted (CPU)
 
 
 _GROUPS = {

@@ -71,6 +71,9 @@ class TargetDescriptors(NamedTuple):
     bits_local: jnp.ndarray  # [Mp, Mp//8]
     coef_global: jnp.ndarray  # w_global / desc_global.size
     coef_local: jnp.ndarray  # w_local / desc_local.size
+    # Optional dense pair-code matrix [Mp, Mp] uint8 (bitsG + 2*bitsL) for
+    # the fused Pallas loss kernel (cfg.desc_kernel; costs Mp^2 bytes).
+    pair_code: Optional[jnp.ndarray] = None
 
 
 def descriptors_from_indices(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -88,14 +91,19 @@ def padded_patch_size(m: int, block: int) -> int:
     return -(-m // block) * block
 
 
-def _pack_pair_bits(idx: np.ndarray, rows: np.ndarray, mp: int) -> np.ndarray:
-    """[R,k] frozen NN indices (col 0 = self) -> [mp, mp//8] bit-packed
-    0/1 mask of the (row_point, neighbor) pairs the descriptor compares.
+def _pair_dense(idx: np.ndarray, rows: np.ndarray, mp: int) -> np.ndarray:
+    """[R,k] frozen NN indices (col 0 = self) -> [mp, mp] dense 0/1 mask
+    of the (row_point, neighbor) pairs the descriptor compares.
     kNN indices are distinct within a row, so the mask is exactly 0/1."""
     dense = np.zeros((mp, mp), np.uint8)
     r = np.repeat(np.asarray(rows), idx.shape[1] - 1)
     dense[r, np.asarray(idx[:, 1:]).ravel()] = 1
-    return np.packbits(dense, axis=1, bitorder="little")
+    return dense
+
+
+def _pack_pair_bits(idx: np.ndarray, rows: np.ndarray, mp: int) -> np.ndarray:
+    """Bit-packed form of `_pair_dense` ([mp, mp//8], little-endian)."""
+    return np.packbits(_pair_dense(idx, rows, mp), axis=1, bitorder="little")
 
 
 def _unpack_bits(bits: jnp.ndarray) -> jnp.ndarray:
@@ -122,10 +130,20 @@ def compute_target_descriptors(
     desc_l = descriptors_from_indices(pts, idx_l)
 
     mp = padded_patch_size(m, cfg.desc_block)
+    use_kernel = bool(getattr(cfg, "desc_kernel", False)) and mp >= 2048
+    if use_kernel:
+        from wast3d_tpu.stylize import desc_kernel as dk
+
+        mp = -(-mp // dk.BC) * dk.BC  # kernel block alignment
     rows_g = np.arange(m, dtype=np.int32)[:: cfg.global_stride]
     rows_l = np.arange(m, dtype=np.int32)
-    bits_g = _pack_pair_bits(np.asarray(idx_g), rows_g, mp)
-    bits_l = _pack_pair_bits(np.asarray(idx_l), rows_l, mp)
+    dense_g = _pair_dense(np.asarray(idx_g), rows_g, mp)
+    dense_l = _pair_dense(np.asarray(idx_l), rows_l, mp)
+    pair_code = None
+    if use_kernel:
+        pair_code = jnp.asarray(dense_g + 2 * dense_l)  # [mp, mp] u8
+    bits_g = np.packbits(dense_g, axis=1, bitorder="little")
+    bits_l = np.packbits(dense_l, axis=1, bitorder="little")
     pts_pad = jnp.pad(pts, ((0, mp - m), (0, 0)))
     return TargetDescriptors(
         idx_g, desc_g, idx_l, desc_l,
@@ -134,6 +152,7 @@ def compute_target_descriptors(
         bits_local=jnp.asarray(bits_l),
         coef_global=jnp.float32(cfg.w_global / desc_g.size),
         coef_local=jnp.float32(cfg.w_local / desc_l.size),
+        pair_code=pair_code,
     )
 
 
@@ -153,7 +172,7 @@ def dense_pair_terms(target: TargetDescriptors):
 
 def descriptor_loss(
     points_pad: jnp.ndarray, target: TargetDescriptors, block: int,
-    dense_wt=None,
+    dense_wt=None, interpret: bool = False,
 ) -> jnp.ndarray:
     """sum_ij W_ij (D_ij - T_ij)^2 streamed over column blocks.
 
@@ -161,6 +180,16 @@ def descriptor_loss(
     no mask bits, so they contribute nothing). dense_wt: optional
     precomputed `dense_pair_terms` (single-block path only)."""
     mp = points_pad.shape[0]
+
+    if target.pair_code is not None:
+        # Fused Pallas kernel path (desc_kernel.py): everything in VMEM,
+        # no [Mp, block] HBM slab round-trips.
+        from wast3d_tpu.stylize import desc_kernel as dk
+
+        return dk.pair_loss(
+            points_pad, target.points, target.pair_code,
+            target.coef_global, target.coef_local, interpret,
+        )
 
     def block_term(x, xb, tb, bg, bl):
         d = jnp.sqrt(jnp.maximum(pairwise_sq_dists(x, xb), 1e-24))
@@ -249,7 +278,9 @@ def domain_coverage_loss(
 def _fit_loss(points_pad, m_true, target: TargetDescriptors, domain,
               domain_mask, cfg, dense_wt=None):
     loss_desc = descriptor_loss(points_pad, target, cfg.desc_block,
-                                dense_wt=dense_wt)
+                                dense_wt=dense_wt,
+                                interpret=getattr(cfg, "pallas_interpret",
+                                                  False))
     loss_d = domain_adaptation_loss(points_pad, domain, domain_mask,
                                     cfg.domain_knn, x_rows=m_true)
     loss = loss_desc + cfg.w_domain * loss_d
