@@ -71,16 +71,24 @@ def tile_grid(width: int, height: int) -> tuple:
     return (-(-width // TILE), -(-height // TILE))
 
 
-def compute_rects(means2d, radii, grid_x: int, grid_y: int):
+def compute_rects(means2d, radii, grid_x: int, grid_y: int,
+                  ext_x=None, ext_y=None):
     """Per-Gaussian covered tile rect; reference `getRect`
-    (`auxiliary.h:46-56`). radii==0 yields an empty rect."""
+    (`auxiliary.h:46-56`). radii==0 yields an empty rect.
+
+    ext_x/ext_y: optional tight per-axis half-extents (pixels) from
+    `preprocess` (the alpha >= 1/255 ellipse AABB clipped to the 3-sigma
+    box) — a strict subset of the reference's square footprint whose
+    dropped pixels the blend kernel skips anyway. Defaults to the square
+    of `radii`."""
     mx, my = means2d[:, 0], means2d[:, 1]
-    r = radii.astype(jnp.float32)
-    xmin = jnp.clip(jnp.floor((mx - r) / TILE), 0, grid_x).astype(jnp.int32)
-    ymin = jnp.clip(jnp.floor((my - r) / TILE), 0, grid_y).astype(jnp.int32)
-    xmax = jnp.clip(jnp.floor((mx + r + TILE - 1) / TILE), 0, grid_x).astype(jnp.int32)
-    ymax = jnp.clip(jnp.floor((my + r + TILE - 1) / TILE), 0, grid_y).astype(jnp.int32)
-    empty = radii <= 0
+    rx = (radii if ext_x is None else ext_x).astype(jnp.float32)
+    ry = (radii if ext_y is None else ext_y).astype(jnp.float32)
+    xmin = jnp.clip(jnp.floor((mx - rx) / TILE), 0, grid_x).astype(jnp.int32)
+    ymin = jnp.clip(jnp.floor((my - ry) / TILE), 0, grid_y).astype(jnp.int32)
+    xmax = jnp.clip(jnp.floor((mx + rx + TILE - 1) / TILE), 0, grid_x).astype(jnp.int32)
+    ymax = jnp.clip(jnp.floor((my + ry + TILE - 1) / TILE), 0, grid_y).astype(jnp.int32)
+    empty = (radii <= 0) | (rx <= 0) | (ry <= 0)
     xmin = jnp.where(empty, 0, xmin)
     xmax = jnp.where(empty, 0, xmax)
     ymin = jnp.where(empty, 0, ymin)
@@ -112,6 +120,8 @@ def bin_gaussians(
     max_tiles_per_gaussian: int = 512,
     phase_a_tiles: int = 6,
     big_budget_divisor: int = 16,
+    ext_x: jnp.ndarray = None,
+    ext_y: jnp.ndarray = None,
 ) -> Binning:
     """Build the depth-sorted per-tile Gaussian lists."""
     n = means2d.shape[0]
@@ -133,7 +143,8 @@ def bin_gaussians(
     )
     _, rank_of = jax.lax.sort((order, iota), dimension=0, num_keys=1)
 
-    xmin, ymin, xmax, _ymax = compute_rects(means2d, radii, grid_x, grid_y)
+    xmin, ymin, xmax, _ymax = compute_rects(means2d, radii, grid_x, grid_y,
+                                            ext_x=ext_x, ext_y=ext_y)
     rect_w = xmax - xmin
     tiles_touched = rect_w * (_ymax - ymin)
 

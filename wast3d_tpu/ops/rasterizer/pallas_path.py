@@ -50,6 +50,7 @@ def render_pallas(
         prep.means2d, prep.depths, prep.radii, width, height,
         dup_capacity=dup_capacity, max_tiles_per_gaussian=max_tiles_per_gaussian,
         phase_a_tiles=phase_a_tiles, big_budget_divisor=big_budget_divisor,
+        ext_x=prep.extent_x, ext_y=prep.extent_y,
     )
     # Pack per-Gaussian rows once (elementwise), then ONE gather into sorted
     # order + transpose — instead of six separate gathers.

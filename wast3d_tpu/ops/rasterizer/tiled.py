@@ -87,6 +87,7 @@ def render_tiled(
         prep.means2d, prep.depths, prep.radii, width, height,
         dup_capacity=dup_capacity, max_tiles_per_gaussian=max_tiles_per_gaussian,
         phase_a_tiles=phase_a_tiles, big_budget_divisor=big_budget_divisor,
+        ext_x=prep.extent_x, ext_y=prep.extent_y,
     )
 
     # Gather per-duplicate data into sorted order once ([K, ...]); the

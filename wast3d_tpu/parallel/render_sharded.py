@@ -89,6 +89,7 @@ def _shard_render(
         max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
         phase_a_tiles=settings.phase_a_tiles,
         big_budget_divisor=settings.big_budget_divisor,
+        ext_x=prep.extent_x, ext_y=prep.extent_y,
     )
     K = b.gauss_idx.shape[0]
     live = jnp.arange(K) < b.tile_end[-1]  # valid prefix of the sorted list
