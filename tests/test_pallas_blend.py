@@ -19,6 +19,42 @@ TILED = api.RasterizeSettings(
 
 
 class TestForwardParity:
+    def test_anisotropic_low_opacity_matches_oracle(self):
+        """Stress the tight tile-footprint path (preprocess extent_x/y):
+        strongly anisotropic splats and near-threshold opacities must
+        render identically to the per-pixel oracle (which has no tile
+        structure at all) — every tile the tight AABB drops may contain
+        only sub-1/255-alpha pixels."""
+        from tests.test_rasterizer import _scene_from
+
+        rng = np.random.default_rng(11)
+        n = 80
+        s = _scene_from(
+            xyz=rng.normal(size=(n, 3)) * [1.2, 1.2, 0.5],
+            rgb=rng.uniform(0.1, 0.9, size=(n, 3)),
+            # 20:1 anisotropy; some opacities right at the 1/255 edge.
+            scale=np.stack([
+                rng.uniform(0.2, 0.4, n),
+                rng.uniform(0.01, 0.02, n),
+                rng.uniform(0.01, 0.4, n),
+            ], 1),
+            opacity=np.concatenate([
+                rng.uniform(0.003, 0.02, (n // 2, 1)),
+                rng.uniform(0.3, 0.95, (n - n // 2, 1)),
+            ]),
+        )
+        cam = _cam(w=96, h=64)
+        o = api.render(cam, s, BLACK,
+                       settings=api.RasterizeSettings(renderer="oracle"))
+        p = api.render(cam, s, BLACK, settings=PALLAS)
+        assert not bool(p["overflow"])
+        np.testing.assert_allclose(
+            np.asarray(p["render"]), np.asarray(o["render"]), atol=3e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(p["final_T"]), np.asarray(o["final_T"]), atol=3e-3
+        )
+
     @pytest.mark.parametrize("seed", [0, 1])
     def test_matches_tiled(self, seed):
         cam = _cam(w=80, h=48)

@@ -122,10 +122,13 @@ def compute_target_descriptors(
     kg = min(cfg.global_knn, m)
     kl = min(cfg.local_knn, m)
     # exclude_self=False: the nearest neighbor of a point is itself, which
-    # the reference relies on (descriptor row 0 = self).
-    _, idx_g = knn_sq_dists(pts, pts, k=kg)
+    # the reference relies on (descriptor row 0 = self). The global
+    # descriptor only uses every `global_stride`-th row — stride the
+    # QUERIES (identical indices, 20x less top-k work at the default
+    # stride; the reference computes the full cdist then strides,
+    # notebook 11 cell 28).
+    _, idx_g = knn_sq_dists(pts[:: cfg.global_stride], pts, k=kg)
     _, idx_l = knn_sq_dists(pts, pts, k=kl)
-    idx_g = idx_g[:: cfg.global_stride]
     desc_g = descriptors_from_indices(pts, idx_g)
     desc_l = descriptors_from_indices(pts, idx_l)
 
