@@ -67,6 +67,15 @@ class TestPrepare:
         frac_sparse = (idx >= 500).mean()
         assert frac_sparse > 0.3  # sparse region (9% of points) oversampled
 
+    def test_prepare_batched_matches_sequential(self):
+        """The batched (lax.map over clusters) preparation path must pick
+        the exact same domain indices as the per-cluster host loop."""
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(3000, 3)).astype(np.float32)
+        a = prepare.prepare_scene(pts, num_clusters=6, seed=1, batched=False)
+        b = prepare.prepare_scene(pts, num_clusters=6, seed=1, batched=True)
+        np.testing.assert_array_equal(np.sort(a), np.sort(b))
+
     def test_prepare_scene_returns_indices(self):
         pts = _two_blobs(400)
         idx = prepare.prepare_scene(pts, num_clusters=2, q=0.95, kth_neighbor=10)
