@@ -159,3 +159,44 @@ class TestOverflowCauses:
         assert grow, "emission overflow never handled"
         assert any("phase_a_tiles" in h for h in grow)
         assert tr.settings.phase_a_tiles > 1
+
+
+class TestSlotDecode:
+    def test_float_decode_matches_integer_division_exhaustive(self):
+        # Regression for the double-rounding bug: fl(a * fl(1/b)) floors to
+        # a/b - 1 for pairs like (41, 41), (47, 47), (55, 55), (61, 61).
+        # The shipped decode floor((a + 0.5) * fl(1/b)) must match a // b
+        # for every reachable (slot, width): slot < 512 (the rect-tile
+        # ceiling), width <= 256.
+        a = jnp.arange(512, dtype=jnp.int32)[:, None]
+        b = jnp.arange(1, 257, dtype=jnp.int32)[None, :]
+        got = jnp.floor(
+            (a.astype(jnp.float32) + 0.5) * (1.0 / b.astype(jnp.float32))
+        ).astype(jnp.int32)
+        want = a // b
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_width_41_emission_covers_exact_rect(self):
+        # One gaussian whose rect is 41 tiles wide x 2 tall on a wide grid;
+        # under the buggy decode, slot 41 (row 1, col 0) landed in row 0
+        # col 41 -- a hole in tile (xmin, ymin+1) and a duplicate at
+        # (xmin+41, ymin). Assert the emitted tile set IS the rect.
+        w_tiles, h_tiles = 50, 4
+        W, H = w_tiles * bm.TILE, h_tiles * bm.TILE
+        # Center so the rect spans tiles x in [2, 43), y in [1, 3).
+        cx = (2 * bm.TILE + 43 * bm.TILE) / 2.0
+        cy = (1 * bm.TILE + 3 * bm.TILE) / 2.0
+        r = (43 - 2) * bm.TILE / 2.0 - 1  # 41 tiles wide
+        ry = (3 - 1) * bm.TILE / 2.0 - 1
+        b = bm.bin_gaussians(
+            jnp.array([[cx, cy]], jnp.float32), jnp.array([1.0], jnp.float32),
+            jnp.array([int(r)], jnp.int32), W, H, dup_capacity=0,
+            max_tiles_per_gaussian=512, phase_a_tiles=6,
+            ext_x=jnp.array([r], jnp.float32), ext_y=jnp.array([ry], jnp.float32),
+        )
+        assert not bool(b.overflow)
+        tiles = np.asarray(b.tile_of_dup)
+        valid = tiles < w_tiles * h_tiles
+        got = set(tiles[valid].tolist())
+        want = {ty * w_tiles + tx for ty in (1, 2) for tx in range(2, 43)}
+        assert got == want

@@ -353,3 +353,52 @@ class TestTrainerGrowthHandling:
         retry_events = [h for h in tr.history if h.get("event") == "capacity_grow_retry"]
         assert retry_events, "dropped candidates were silently discarded"
         assert tr.state.scene.capacity > 144
+
+
+class TestOverflowGrowthMapping:
+    """The shared schedule grows the knob that can actually clear each
+    overflow cause (ADVICE r2: rect-cap overflow must not double
+    phase_a_tiles forever)."""
+
+    def _upd(self, aux, **settings_kw):
+        from wast3d_tpu.ops.rasterizer.api import RasterizeSettings
+        from wast3d_tpu.train.schedule import overflow_growth_update
+
+        return overflow_growth_update(RasterizeSettings(**settings_kw), aux)
+
+    def test_rect_overflow_grows_rect_ceiling(self):
+        upd = self._upd({"overflow": True, "overflow_emit": False,
+                         "overflow_rect": True})
+        assert upd == {"max_tiles_per_gaussian": 1024}
+
+    def test_emit_overflow_capped_at_rect_ceiling(self):
+        # phase_a at the ceiling: doubling is a no-op; must not loop.
+        upd = self._upd(
+            {"overflow": True, "overflow_emit": True, "overflow_rect": False},
+            renderer="pallas", phase_a_tiles=512, max_tiles_per_gaussian=512,
+        )
+        assert upd is None or "phase_a_tiles" not in upd
+
+    def test_plain_overflow_grows_dup_capacity(self):
+        upd = self._upd({"overflow": True, "overflow_emit": False,
+                         "overflow_rect": False}, dup_capacity=1 << 10)
+        assert upd == {"dup_capacity": 1 << 11}
+
+    def test_route_overflow_grows_explicit_route_capacity(self):
+        upd = self._upd(
+            {"overflow": True, "overflow_emit": False,
+             "overflow_rect": False, "overflow_route": True},
+            route_capacity=256,
+        )
+        assert upd == {"route_capacity": 512}
+
+    def test_route_overflow_auto_grows_dup(self):
+        upd = self._upd(
+            {"overflow": True, "overflow_emit": False,
+             "overflow_rect": False, "overflow_route": True},
+            dup_capacity=1 << 10, route_capacity=0,
+        )
+        assert upd == {"dup_capacity": 1 << 11}
+
+    def test_no_overflow_no_update(self):
+        assert self._upd({"overflow": False}) is None

@@ -81,9 +81,11 @@ def render(
 ) -> dict:
     """Render the scene from `camera`. Returns a dict with:
     render [H,W,3], depth [H,W], final_T [H,W], radii [N], visibility_filter
-    [N] bool, overflow [] bool, overflow_emit [] bool (emission-budget
-    truncation — grow phase_a_tiles/max_per_tile — vs dup_capacity
-    otherwise; the oracle path never overflows)."""
+    [N] bool, overflow [] bool, plus the cause split overflow_emit
+    (emission-budget truncation — grow phase_a_tiles/max_per_tile) and
+    overflow_rect (rect-ceiling truncation — grow max_tiles_per_gaussian);
+    plain overflow with neither cause set means dup_capacity. The oracle
+    path never overflows. See train.schedule.overflow_growth_update."""
     colors_precomp = None
     shs = None
     if override_color is not None:
@@ -138,6 +140,7 @@ def render(
         )
         overflow = jnp.zeros((), bool)
         overflow_emit = jnp.zeros((), bool)
+        overflow_rect = jnp.zeros((), bool)
     elif settings.renderer == "pallas":
         from wast3d_tpu.ops.rasterizer.pallas_path import render_pallas
 
@@ -153,7 +156,9 @@ def render(
             phase_a_tiles=settings.phase_a_tiles,
             big_budget_divisor=settings.big_budget_divisor,
         )
-        color, depth, final_T, overflow, overflow_emit = out
+        color, depth, final_T = out.color, out.depth, out.final_T
+        overflow, overflow_emit = out.overflow, out.overflow_emit
+        overflow_rect = out.overflow_rect
     else:
         out = tiled_mod.render_tiled(
             prep,
@@ -168,7 +173,9 @@ def render(
             phase_a_tiles=settings.phase_a_tiles,
             big_budget_divisor=settings.big_budget_divisor,
         )
-        color, depth, final_T, overflow, overflow_emit = out
+        color, depth, final_T = out.color, out.depth, out.final_T
+        overflow, overflow_emit = out.overflow, out.overflow_emit
+        overflow_rect = out.overflow_rect
 
     return {
         "render": color,
@@ -178,4 +185,5 @@ def render(
         "visibility_filter": prep.radii > 0,
         "overflow": overflow,
         "overflow_emit": overflow_emit,
+        "overflow_rect": overflow_rect,
     }

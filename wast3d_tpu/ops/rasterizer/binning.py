@@ -53,11 +53,15 @@ class Binning(NamedTuple):
     overflow: jnp.ndarray  # [] bool: any duplicate dropped (any cause)
     # Cause split so hosts can grow the RIGHT knob (the CUDA path is
     # uncapped, rasterizer_impl.cu:291-305, so any truncation is a
-    # regression to repair): emission truncation (rect cap /
-    # phase-selection budget -> grow phase_a_tiles) vs sorted-prefix
-    # truncation (total > dup_capacity -> grow dup_capacity).
+    # regression to repair): phase-selection budget truncation (-> grow
+    # phase_a_tiles), sorted-prefix truncation (total > dup_capacity
+    # -> grow dup_capacity), and rect-ceiling truncation (tiles_touched >
+    # max_tiles_per_gaussian -> grow max_tiles_per_gaussian; growing
+    # phase_a_tiles can NEVER clear this one, so it must not be folded
+    # into overflow_emit).
     overflow_emit: jnp.ndarray = None  # [] bool
     overflow_dup: jnp.ndarray = None  # [] bool
+    overflow_rect: jnp.ndarray = None  # [] bool
     # Gather-avoidance pair: gauss_idx == depth_order[rank]. Consumers that
     # can pre-sort their per-gaussian data by depth_order (one N-row
     # gather) should index it with `rank` directly — materializing
@@ -159,7 +163,8 @@ def bin_gaussians(
     phases = _phase_plan(n, ra, max_tiles_per_gaussian, big_budget_divisor)
 
     te = jnp.minimum(tiles_touched, ra)
-    ovf_emit = jnp.any(tiles_touched > max_tiles_per_gaussian)
+    ovf_rect = jnp.any(tiles_touched > max_tiles_per_gaussian)
+    ovf_emit = jnp.zeros((), bool)
     emitted = []  # per-phase packed keys (or (tile, rank) pairs)
 
     def emission(xmin_s, ymin_s, rw_s, te_s, rank_s, r0, r_count):
@@ -167,14 +172,18 @@ def bin_gaussians(
         (original-order) gaussians, laid out [slots, m] so lanes stay
         dense; rank_s carries each gaussian's depth rank into the key.
 
-        The slot -> (tx, ty) decode uses float division: exact for
-        a, b < 2^14 because fl(a/b)'s relative error 2^-24 cannot bridge
-        the >= 1/b gap between a/b and the next integer. (Integer div/mod
-        lower to long software sequences on the VPU.)"""
+        The slot -> (tx, ty) decode uses float multiply-by-reciprocal
+        (integer div/mod lower to long software sequences on the VPU).
+        Bare fl(a * fl(1/b)) double-rounds — e.g. (a=41, b=41) lands just
+        below 1.0 and floors to 0 — so we compute floor((a + 0.5) * fl(1/b)):
+        (a + 0.5)/b is never an integer and its distance to the nearest
+        integer is >= 0.5/b, which exceeds the total relative rounding
+        error (~2^-23 per op) for a, b < 2^13. Verified exhaustively for
+        a < 512, b <= 256 in tests/test_binning.py."""
         r_idx = (r0 + jnp.arange(r_count, dtype=jnp.int32))[:, None]
         rwm = jnp.maximum(rw_s, 1)[None, :]
         ty_off = jnp.floor(
-            r_idx.astype(jnp.float32) * (1.0 / rwm.astype(jnp.float32))
+            (r_idx.astype(jnp.float32) + 0.5) * (1.0 / rwm.astype(jnp.float32))
         ).astype(jnp.int32)
         tx = xmin_s[None, :] + (r_idx - ty_off * rwm)
         ty = ymin_s[None, :] + ty_off
@@ -260,9 +269,10 @@ def bin_gaussians(
         tile_start=tile_start,
         tile_end=tile_end,
         num_duplicates=total,
-        overflow=ovf_emit | ovf_dup,
+        overflow=ovf_emit | ovf_dup | ovf_rect,
         overflow_emit=ovf_emit,
         overflow_dup=ovf_dup,
+        overflow_rect=ovf_rect,
         depth_order=order,
         rank_of=rank_of,
         rank=sorted_rank,

@@ -87,7 +87,12 @@ def _split2(x):
 
 
 def _split_dot(x, u_bf16):
-    """x @ u for 0/1-valued u, f32-accurate at 2 bf16 MXU passes."""
+    """x @ u for 0/1-valued u at 2 bf16 MXU passes. NOT full f32: the
+    hi+lo split keeps ~16 of f32's 24 mantissa bits (~2^-16 relative
+    error), so the transmittance scans and gradient prefix sums built on
+    it — and hence T_EPS early termination near the threshold — can
+    deviate slightly from an f32 reference. Parity-test tolerances
+    (tests/test_pallas_blend.py) are set against this bound."""
     hi, lo = _split2(x)
     return (
         jax.lax.dot(hi, u_bf16, preferred_element_type=jnp.float32)

@@ -112,4 +112,5 @@ def render_pallas(
         final_T=untile(tfin[..., None], 1)[..., 0],
         overflow=binning.overflow,
         overflow_emit=binning.overflow_emit,
+        overflow_rect=binning.overflow_rect,
     )

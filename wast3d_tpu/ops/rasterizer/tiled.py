@@ -42,10 +42,12 @@ class RenderOutput(NamedTuple):
     depth: jnp.ndarray  # [H,W]
     final_T: jnp.ndarray  # [H,W]
     overflow: jnp.ndarray  # [] bool (any capacity exceeded)
-    # Emission-budget truncation specifically (rect cap / phase budget /
-    # tiled per-tile cap): hosts grow phase_a_tiles or max_per_tile for
-    # this, dup_capacity otherwise.
+    # Cause split (see binning.Binning): emission-budget truncation
+    # (phase budget / tiled per-tile cap -> grow phase_a_tiles /
+    # max_per_tile), rect-ceiling truncation (-> grow
+    # max_tiles_per_gaussian), dup_capacity otherwise.
     overflow_emit: jnp.ndarray = None  # [] bool
+    overflow_rect: jnp.ndarray = None  # [] bool
 
 
 def _tile_pixel_coords(grid_x: int, grid_y: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -190,4 +192,5 @@ def render_tiled(
     depth = untile(depth_acc[..., None], 1)[..., 0]
     final_T = untile(T_run[..., None], 1)[..., 0]
     return RenderOutput(color=color, depth=depth, final_T=final_T,
-                        overflow=overflow, overflow_emit=overflow_emit)
+                        overflow=overflow, overflow_emit=overflow_emit,
+                        overflow_rect=binning.overflow_rect)

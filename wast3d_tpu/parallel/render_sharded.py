@@ -176,14 +176,13 @@ def _shard_render(
     strip = untile(color_t, 3)  # [H_pad/P, width, 3]
     depth_strip = untile(depth_t[..., None], 1)[..., 0]
     tfin_strip = untile(tfin[..., None], 1)[..., 0]
-    overflow = jax.lax.pmax(
-        (b.overflow | overflow_route).astype(jnp.int32), "model"
-    ).astype(bool)
-    overflow_emit = jax.lax.pmax(
-        b.overflow_emit.astype(jnp.int32), "model"
-    ).astype(bool)
-    return (strip, depth_strip, tfin_strip, prep.radii,
-            overflow, overflow_emit)
+    def _any(flag):
+        return jax.lax.pmax(flag.astype(jnp.int32), "model").astype(bool)
+
+    overflow = _any(b.overflow | overflow_route)
+    return (strip, depth_strip, tfin_strip, prep.radii, overflow,
+            _any(b.overflow_emit), _any(b.overflow_rect),
+            _any(overflow_route))
 
 
 def render_tile_sharded(
@@ -215,12 +214,14 @@ def render_tile_sharded(
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(shard, shard, shard, shard, shard, shard, rep, rep),
-        out_specs=(shard, shard, shard, shard, rep, rep),
+        out_specs=(shard, shard, shard, shard, rep, rep, rep, rep),
         check_vma=False,
     )
-    strip, depth, tfin, radii, overflow, overflow_emit = mapped(
-        scene.xyz, scene.get_features, scene.scaling, scene.rotation,
-        scene.opacity, scene.mask, cam_arrays, bg_color,
+    strip, depth, tfin, radii, overflow, ovf_emit, ovf_rect, ovf_route = (
+        mapped(
+            scene.xyz, scene.get_features, scene.scaling, scene.rotation,
+            scene.opacity, scene.mask, cam_arrays, bg_color,
+        )
     )
     return {
         "render": strip,  # [height_pad, width, 3] sharded over model
@@ -229,6 +230,12 @@ def render_tile_sharded(
         "radii": radii,
         "visibility_filter": radii > 0,
         "overflow": overflow,
-        "overflow_emit": overflow_emit,
+        "overflow_emit": ovf_emit,
+        "overflow_rect": ovf_rect,
+        # Route-bucket truncation is its own cause: with an explicit
+        # settings.route_capacity the host must grow THAT knob (growing
+        # dup_capacity would never clear it); with auto sizing the bucket
+        # derives from dup_capacity (see `cap` above) so dup growth works.
+        "overflow_route": ovf_route,
         "height_pad": height_pad,
     }

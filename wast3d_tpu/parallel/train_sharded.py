@@ -93,7 +93,8 @@ def make_sharded_train_step(
             if sphere_cfg is not None:
                 loss = loss + sphere_regularizer(s, sphere_cfg)
             return loss, (out["radii"], out["visibility_filter"],
-                          out["overflow"], out["overflow_emit"])
+                          out["overflow"], out["overflow_emit"],
+                          out["overflow_rect"])
 
         def loss_fn(p, m2d):
             losses, aux = jax.vmap(
@@ -101,7 +102,7 @@ def make_sharded_train_step(
             )(m2d, cam_batch, gt_batch, offs)
             return jnp.mean(losses), aux
 
-        (loss, (radii_b, vis_b, ovf_b, ovfe_b)), (g_params, g_m2d) = (
+        (loss, (radii_b, vis_b, ovf_b, ovfe_b, ovfr_b)), (g_params, g_m2d) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, m2d_zero
             )
@@ -116,6 +117,7 @@ def make_sharded_train_step(
             "loss": loss,
             "overflow": jnp.any(ovf_b),
             "overflow_emit": jnp.any(ovfe_b),
+            "overflow_rect": jnp.any(ovfr_b),
             "num_active": scene.num_active,
         }
         return (
@@ -231,81 +233,26 @@ class ShardedTrainer:
         if fill > self.grow_threshold:
             self._grow()
 
+    # --- schedule-driver hooks (see train/schedule.py contract) ---
+    def _pre_step(self, it: int):
+        pass
+
+    def _do_step(self, it: int):
+        cam_batch, gt_batch = self._next_batch()
+        self.key, k = jax.random.split(self.key)
+        self.state, aux = self._step_fn(
+            self.state, cam_batch, gt_batch, self.bg_color, k
+        )
+        return aux
+
+    def _on_settings_change(self):
+        self._step_fn = make_sharded_train_step(
+            self.mesh, self.opt_cfg, self.settings,
+            self.spatial_lr_scale, self.sphere_cfg, self.jitter,
+        )
+
     def run(self, iterations: int, log_every: int = 0):
-        cfg = self.opt_cfg
+        from wast3d_tpu.train.schedule import run_schedule
+
         with self.mesh:
-            for _ in range(iterations):
-                it = self._it + 1
-                self._it = it
-                if it % 1000 == 0:
-                    self.state = self.state._replace(
-                        scene=self.state.scene.one_up_sh_degree()
-                    )
-                cam_batch, gt_batch = self._next_batch()
-                self.key, k = jax.random.split(self.key)
-                self.state, aux = self._step_fn(
-                    self.state, cam_batch, gt_batch, self.bg_color, k
-                )
-                if it < cfg.densify_until_iter:
-                    if (it > cfg.densify_from_iter
-                            and it % cfg.densification_interval == 0):
-                        if bool(np.asarray(aux["overflow"])):
-                            if bool(np.asarray(aux["overflow_emit"])):
-                                upd = {"phase_a_tiles":
-                                       self.settings.phase_a_tiles * 2}
-                                if self.settings.renderer == "tiled":
-                                    upd["max_per_tile"] = (
-                                        self.settings.max_per_tile * 2
-                                    )
-                            else:
-                                upd = {"dup_capacity":
-                                       self.settings.dup_capacity * 2}
-                            self.history.append(
-                                {"iter": it,
-                                 "event": "raster_capacity_grow", **upd}
-                            )
-                            self.settings = self.settings._replace(**upd)
-                            self._step_fn = make_sharded_train_step(
-                                self.mesh, cfg, self.settings,
-                                self.spatial_lr_scale, self.sphere_cfg,
-                                self.jitter,
-                            )
-                        max_screen = (
-                            20.0 if it > cfg.opacity_reset_interval else 0.0
-                        )
-                        self._maybe_grow()
-                        self.key, k2 = jax.random.split(self.key)
-                        for _attempt in range(3):
-                            scene, opt, stats, dropped = R.densify_and_prune_jit(
-                                self.state.scene, self.state.opt_state,
-                                self.state.stats, k2,
-                                max_grad=cfg.densify_grad_threshold,
-                                min_opacity=0.005,
-                                extent=float(self.cameras_extent),
-                                max_screen_size=max_screen,
-                                percent_dense=cfg.percent_dense,
-                            )
-                            if int(np.asarray(dropped)) == 0:
-                                break
-                            self.history.append(
-                                {"iter": it, "event": "capacity_grow_retry",
-                                 "dropped": int(np.asarray(dropped))}
-                            )
-                            self._grow()
-                        self.state = R.TrainState(scene, opt, stats,
-                                                  self.state.step)
-                    if it % cfg.opacity_reset_interval == 0 or (
-                        self._white_bg and it == cfg.densify_from_iter
-                    ):
-                        scene, opt = R.reset_opacity_jit(
-                            self.state.scene, self.state.opt_state
-                        )
-                        self.state = self.state._replace(
-                            scene=scene, opt_state=opt
-                        )
-                if log_every and it % log_every == 0:
-                    self.history.append(
-                        {"iter": it, "loss": float(aux["loss"]),
-                         "n": int(aux["num_active"])}
-                    )
-        return self.state
+            return run_schedule(self, iterations, log_every)

@@ -111,6 +111,7 @@ def train_step(
         "visibility": out["visibility_filter"],
         "overflow": out["overflow"],
         "overflow_emit": out["overflow_emit"],
+        "overflow_rect": out["overflow_rect"],
         "num_active": scene.num_active,
     }
     return TrainState(new_scene, new_opt, new_stats, step), aux
@@ -202,94 +203,32 @@ class Trainer:
         )
         self.state = TrainState(scene, opt, stats, self.state.step)
 
-    def run(self, iterations: int, log_every: int = 0):
-        cfg = self.opt_cfg
-        for _ in range(iterations):
-            it = self._it + 1  # 1-based like the reference
-            self._it = it
-            if self.gui is not None:
-                # Serve one live-view frame per iteration (reference polls
-                # the GUI socket at the top of the loop, train.py:57-70).
-                from wast3d_tpu.viewer.network_gui import serve_scene
+    # --- schedule-driver hooks (see train/schedule.py contract) ---
+    def _pre_step(self, it: int):
+        if self.gui is not None:
+            # Serve one live-view frame per iteration (reference polls
+            # the GUI socket at the top of the loop, train.py:57-70).
+            from wast3d_tpu.viewer.network_gui import serve_scene
 
-                serve_scene(self.gui, self.state.scene, settings=self.settings,
-                            bg_color=self.bg_color)
-            # SH warm-up every 1000 iters (`train.py:77-78`).
-            if it % 1000 == 0:
-                self.state = self.state._replace(
-                    scene=self.state.scene.one_up_sh_degree()
-                )
-            cam, gt = self._next_camera()
-            self.key, k = jax.random.split(self.key)
-            self.state, aux = train_step(
-                self.state, cam, gt, self.bg_color, k,
-                opt_cfg=cfg, settings=self.settings,
-                width=cam.width, height=cam.height,
-                spatial_lr_scale=self.spatial_lr_scale,
-                sphere_cfg=self.sphere_cfg, jitter=self.jitter,
-            )
-            # Densification block (`train.py:137-147`).
-            if it < cfg.densify_until_iter:
-                if it > cfg.densify_from_iter and it % cfg.densification_interval == 0:
-                    # A truncated binning emission grid silently degrades
-                    # training quality (the CUDA path is uncapped,
-                    # rasterizer_impl.cu:291-305) — check the overflow flags
-                    # at densify cadence and grow the knob that tripped:
-                    # emission truncation -> phase_a_tiles (+ max_per_tile
-                    # on the tiled path), prefix truncation -> dup_capacity.
-                    if bool(np.asarray(aux["overflow"])):
-                        if bool(np.asarray(aux["overflow_emit"])):
-                            upd = {
-                                "phase_a_tiles": self.settings.phase_a_tiles * 2
-                            }
-                            if self.settings.renderer == "tiled":
-                                upd["max_per_tile"] = (
-                                    self.settings.max_per_tile * 2
-                                )
-                        else:
-                            upd = {
-                                "dup_capacity": self.settings.dup_capacity * 2
-                            }
-                        self.history.append(
-                            {"iter": it, "event": "raster_capacity_grow", **upd}
-                        )
-                        self.settings = self.settings._replace(**upd)
-                    max_screen = 20.0 if it > cfg.opacity_reset_interval else 0.0
-                    self._maybe_grow()
-                    self.key, k2 = jax.random.split(self.key)
-                    # densify_and_prune is pure: if free capacity can't hold
-                    # this clone/split burst (dropped > 0), discard the
-                    # result, grow, and re-run so no candidates are lost.
-                    for _attempt in range(3):
-                        scene, opt, stats, dropped = densify_and_prune_jit(
-                            self.state.scene, self.state.opt_state,
-                            self.state.stats, k2,
-                            max_grad=cfg.densify_grad_threshold,
-                            min_opacity=0.005,
-                            extent=float(self.cameras_extent),
-                            max_screen_size=max_screen,
-                            percent_dense=cfg.percent_dense,
-                        )
-                        if int(np.asarray(dropped)) == 0:
-                            break
-                        self.history.append(
-                            {"iter": it, "event": "capacity_grow_retry",
-                             "dropped": int(np.asarray(dropped))}
-                        )
-                        self._grow()
-                    self.state = TrainState(scene, opt, stats, self.state.step)
-                if it % cfg.opacity_reset_interval == 0 or (
-                    # white-bg models also reset right when densification
-                    # starts (`train.py:146-147`)
-                    self._white_bg and it == cfg.densify_from_iter
-                ):
-                    scene, opt = reset_opacity_jit(
-                        self.state.scene, self.state.opt_state
-                    )
-                    self.state = self.state._replace(scene=scene, opt_state=opt)
-            if log_every and it % log_every == 0:
-                self.history.append(
-                    {"iter": it, "loss": float(aux["loss"]),
-                     "n": int(aux["num_active"])}
-                )
-        return self.state
+            serve_scene(self.gui, self.state.scene, settings=self.settings,
+                        bg_color=self.bg_color)
+
+    def _do_step(self, it: int):
+        cam, gt = self._next_camera()
+        self.key, k = jax.random.split(self.key)
+        self.state, aux = train_step(
+            self.state, cam, gt, self.bg_color, k,
+            opt_cfg=self.opt_cfg, settings=self.settings,
+            width=cam.width, height=cam.height,
+            spatial_lr_scale=self.spatial_lr_scale,
+            sphere_cfg=self.sphere_cfg, jitter=self.jitter,
+        )
+        return aux
+
+    def _on_settings_change(self):
+        pass  # train_step re-specializes on the new static settings
+
+    def run(self, iterations: int, log_every: int = 0):
+        from wast3d_tpu.train.schedule import run_schedule
+
+        return run_schedule(self, iterations, log_every)
