@@ -219,16 +219,64 @@ def _bench_ladder(iters=5):
         "train_step_per_s_1m": round(train_1m, 3),
         "sweep_ball_steps_per_s": round(sweep_bs, 2),
     }
+    del scene, state, st
+    mpix_4m = _bench_4m(iters=3)
+    if mpix_4m is not None:
+        out["mpix_4m_1296x832"] = mpix_4m
     trained = _bench_trained_scene(iters=max(10, iters))
     if trained is not None:
-        out["mpix_trained_27k_400"] = trained
+        out["mpix_trained_27k_400"] = trained[0]
+        out["mpix_trained_27k_400_batch8"] = trained[1]
     return out
+
+
+def _bench_4m(iters=3):
+    """BASELINE config 4 single-chip groundwork: 4M Gaussians at
+    1296x832. (num_tiles+1)*N > 2^32 here, so binning exercises the
+    2-key (tile, rank) fallback sort — the u64-as-2x-u32 tier
+    (binning.py: `packable`). Returns fwd MPix/s, or None on failure."""
+    import jax
+    import jax.numpy as jnp
+
+    from wast3d_tpu.ops.rasterizer import api
+
+    n, w, h = 4_000_000, 1296, 832
+    try:
+        scene = _build(n, cap=n)
+        settings = api.RasterizeSettings(
+            renderer="pallas", dup_capacity=6 * n, max_per_tile=1024,
+            chunk=32,
+        )
+        from wast3d_tpu.core.camera import look_at_camera
+
+        cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
+                             fovx=0.9, fovy=0.9, width=w, height=h)
+        bg = jnp.zeros(3)
+
+        @jax.jit
+        def fwd(scene, camera, bg):
+            r = api.render(camera, scene, bg, settings=settings)
+            return r["render"], r["overflow"]
+
+        out, ovf = fwd(scene, cam, bg)
+        jax.block_until_ready(out)
+        assert not bool(ovf), "4M bench overflowed its capacities"
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, _ = fwd(scene, cam, bg)
+        jax.block_until_ready(out)
+        return round((w * h / 1e6) / ((time.perf_counter() - t0) / iters), 2)
+    except Exception as e:  # noqa: BLE001 - bench must degrade, not die
+        print(f"# 4M bench skipped: {e}", file=sys.stderr)
+        return None
 
 
 def _bench_trained_scene(iters=10):
     """Render the committed quality-gate-trained scene (real radius /
     opacity / anisotropy distributions — where the tight tile footprints
-    pay, unlike the uniform synthetic scene). Returns MPix/s or None."""
+    pay, unlike the uniform synthetic scene). Returns (single-view MPix/s,
+    batch-8 MPix/s) or None. The batched number is the serving path
+    (eval/render_sets.render_batch: 8 views per dispatch)."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "runs/qgate/model/point_cloud/iteration_7000/point_cloud.ply",
@@ -261,7 +309,31 @@ def _bench_trained_scene(iters=10):
     t0 = time.perf_counter()
     outs = [fwd(scene, bg) for _ in range(iters)]
     jax.block_until_ready(outs)
-    return round((400 * 400 / 1e6) / ((time.perf_counter() - t0) / iters), 2)
+    single = round(
+        (400 * 400 / 1e6) / ((time.perf_counter() - t0) / iters), 2
+    )
+
+    # Camera-batched serving path: 8 jittered-orbit views per dispatch.
+    from wast3d_tpu.eval.render_sets import render_batch
+
+    cams = [
+        look_at_camera(
+            eye=[4 * np.sin(a), 0.2, -4 * np.cos(a)], target=[0, 0, 0],
+            up=[0, -1, 0], fovx=0.9, fovy=0.9, width=400, height=400,
+        )
+        for a in np.linspace(0, 0.6, 8)
+    ]
+    out = render_batch(cams, scene, bg, settings=settings)
+    jax.block_until_ready(out["render"])
+    t0 = time.perf_counter()
+    outs = [render_batch(cams, scene, bg, settings=settings)["render"]
+            for _ in range(max(3, iters // 2))]
+    jax.block_until_ready(outs)
+    batched = round(
+        (8 * 400 * 400 / 1e6)
+        / ((time.perf_counter() - t0) / max(3, iters // 2)), 2
+    )
+    return single, batched
 
 
 def _bench_sweep_fit(num_styles=2, num_balls=4, patch_pts=2000,

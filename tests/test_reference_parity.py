@@ -305,3 +305,118 @@ class TestGaussianModelParity:
         with cpu_torch():
             cov_want = m.get_covariance(1.0).numpy()
         np.testing.assert_allclose(cov_got, cov_want, rtol=1e-4, atol=1e-6)
+
+
+class TestRenderCUDACompositing:
+    """Independent transcription of the reference per-pixel compositing
+    loop (`forward.cu:262-389` renderCUDA) run against this repo's
+    renderers — NOT against the repo's own oracle, closing the
+    oracle-validates-the-oracle loop. Semantics transcribed: per-tile
+    front-to-back walk of the (tile, depth)-sorted list; pixf = pix +
+    sampling offset; power = -0.5(A dx^2 + C dy^2) - B dx dy; skip if
+    power > 0; alpha = min(0.99, opa * exp(power)); skip if alpha <
+    1/255; STOP (before contributing) once T*(1-alpha) < 1e-4;
+    C += color * alpha * T; D += depth * alpha * T; out = C + T * bg."""
+
+    def _render_ref_loop(self, prep, binning, w, h, bg, offsets=None):
+        import numpy as np
+
+        from wast3d_tpu.ops.rasterizer.binning import TILE
+
+        means = np.asarray(prep.means2d, np.float64)
+        con = np.asarray(prep.conics, np.float64)
+        opa = np.asarray(prep.opacities, np.float64)
+        col = np.asarray(prep.colors, np.float64)
+        dep = np.asarray(prep.depths, np.float64)
+        gid = np.asarray(binning.gauss_idx)
+        ts = np.asarray(binning.tile_start)
+        te = np.asarray(binning.tile_end)
+        bg = np.asarray(bg, np.float64)
+        off = (np.zeros((h, w, 2)) if offsets is None
+               else np.asarray(offsets, np.float64))
+        gx = (w + TILE - 1) // TILE
+        out = np.zeros((h, w, 3))
+        out_d = np.zeros((h, w))
+        out_t = np.ones((h, w))
+        for py in range(h):
+            for px in range(w):
+                tile = (py // TILE) * gx + (px // TILE)
+                pixf = (px + off[py, px, 0], py + off[py, px, 1])
+                T, C, D = 1.0, np.zeros(3), 0.0
+                for e in range(ts[tile], te[tile]):
+                    g = gid[e]
+                    dx = means[g, 0] - pixf[0]
+                    dy = means[g, 1] - pixf[1]
+                    power = (-0.5 * (con[g, 0] * dx * dx
+                                     + con[g, 2] * dy * dy)
+                             - con[g, 1] * dx * dy)
+                    if power > 0.0:
+                        continue
+                    alpha = min(0.99, opa[g] * np.exp(power))
+                    if alpha < 1.0 / 255.0:
+                        continue
+                    test_T = T * (1.0 - alpha)
+                    if test_T < 1e-4:
+                        break
+                    C += col[g] * alpha * T
+                    D += dep[g] * alpha * T
+                    T = test_T
+                out[py, px] = C + T * bg
+                out_d[py, px] = D
+                out_t[py, px] = T
+        return out, out_d, out_t
+
+    @pytest.mark.parametrize("jitter", [False, True])
+    def test_pixels_match_reference_semantics(self, jitter):
+        import jax
+        import jax.numpy as jnp
+
+        from tests.test_rasterizer import _cam, _random_scene
+        from wast3d_tpu.ops.rasterizer import api
+        from wast3d_tpu.ops.rasterizer.binning import bin_gaussians
+        from wast3d_tpu.ops.rasterizer.preprocess import preprocess
+
+        w = h = 64
+        scene = _random_scene(n=500, seed=11)
+        cam = _cam(w=w, h=h)
+        bg = jnp.asarray([0.2, 0.0, 0.5], jnp.float32)
+        offsets = (
+            api.random_sampling_offsets(jax.random.PRNGKey(3), h, w)
+            if jitter else None
+        )
+
+        prep = preprocess(
+            scene.get_xyz, scene.get_opacity, cam.view_transform,
+            cam.full_proj_transform, cam.camera_center, cam.tan_fovx,
+            cam.tan_fovy, w, h, sh_degree=scene.active_sh_degree,
+            shs=scene.get_features, scales=scene.get_scaling,
+            rotations=scene.get_rotation, mask=scene.mask,
+        )
+        binning = bin_gaussians(
+            prep.means2d, prep.depths, prep.radii, w, h, dup_capacity=0,
+            ext_x=prep.extent_x, ext_y=prep.extent_y,
+        )
+        ref_c, ref_d, ref_t = self._render_ref_loop(
+            prep, binning, w, h, bg, offsets
+        )
+
+        for renderer in ("tiled", "pallas"):
+            st = api.RasterizeSettings(
+                renderer=renderer, dup_capacity=1 << 14,
+                pallas_interpret=True, max_per_tile=1024,
+            )
+            got = api.render(cam, scene, bg, settings=st,
+                             sampling_offsets=offsets)
+            assert not bool(got["overflow"])
+            np.testing.assert_allclose(
+                np.asarray(got["render"]), ref_c, atol=1e-4,
+                err_msg=f"{renderer} color",
+            )
+            np.testing.assert_allclose(
+                np.asarray(got["depth"]), ref_d, atol=2e-3,
+                err_msg=f"{renderer} depth",
+            )
+            np.testing.assert_allclose(
+                np.asarray(got["final_T"]), ref_t, atol=1e-4,
+                err_msg=f"{renderer} final_T",
+            )

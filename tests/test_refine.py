@@ -1,5 +1,6 @@
 """Tests: cluster teleport + image-space refinement modes."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -66,3 +67,71 @@ class TestRefine:
             target_depths=[target_depth], opt_cfg=cfg, settings=SETTINGS,
         )
         assert losses[-1] < losses[0]
+
+
+class TestIntracluster:
+    """get_intracluster_stats port (train_st.py:102-171) vs a direct
+    numpy transcription of the reference's ragged per-cluster cdist."""
+
+    def _ref_numpy(self, values, ids, K):
+        out = []
+        for k in range(K):
+            g = values[ids == k]
+            d = np.sqrt(
+                np.maximum(
+                    ((g[:, None, :] - g[None, :, :]) ** 2).sum(-1), 0
+                )
+            )
+            out.append(d)
+        return out
+
+    def test_pairwise_matches_ragged_reference(self):
+        from wast3d_tpu.refine.intracluster import (
+            intracluster_pairwise_dists, pack_clusters,
+        )
+
+        rng = np.random.default_rng(0)
+        n, K = 200, 7
+        vals = rng.normal(size=(n, 3)).astype(np.float32)
+        ids = rng.integers(0, K, size=n)
+        pack = pack_clusters(ids, K)
+        got = np.asarray(
+            intracluster_pairwise_dists(jnp.asarray(vals), pack)
+        )
+        ref = self._ref_numpy(vals, ids, K)
+        for k in range(K):
+            m = int(pack.counts[k])
+            # Rows are packed in stable (original) order.
+            np.testing.assert_allclose(got[k, :m, :m], ref[k], atol=1e-5)
+            assert np.all(got[k, m:] == 0) and np.all(got[k, :, m:] == 0)
+
+    def test_loss_zero_at_gt_and_differentiable(self):
+        from wast3d_tpu.refine.intracluster import (
+            intracluster_pairwise_dists, intracluster_stats_loss,
+            pack_clusters,
+        )
+
+        rng = np.random.default_rng(1)
+        n, K = 64, 4
+        vals = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        ids = rng.integers(0, K, size=n)
+        pack = pack_clusters(ids, K)
+        gt = intracluster_pairwise_dists(vals, pack)
+        assert float(intracluster_stats_loss(vals, gt, pack)) < 1e-10
+        moved = vals + 0.1 * jnp.asarray(
+            rng.normal(size=(n, 3)).astype(np.float32)
+        )
+        loss, g = jax.value_and_grad(
+            lambda v: intracluster_stats_loss(v, gt, pack)
+        )(moved)
+        assert float(loss) > 0
+        assert np.isfinite(np.asarray(g)).all() and np.any(np.asarray(g))
+
+    def test_scene_entry_point(self):
+        from tests.test_rasterizer import _random_scene
+        from wast3d_tpu.refine.intracluster import get_intracluster_stats
+
+        scene = _random_scene(n=50, seed=3)
+        ids = np.random.default_rng(0).integers(0, 5, size=scene.capacity)
+        out = get_intracluster_stats(scene, ids, attrbs=("xyz",))
+        assert out["xyz"].shape[0] == 5

@@ -73,7 +73,8 @@ def make_gt_scene(n_blobs=60, pts_per_blob=150, seed=3):
     )
 
 
-def make_dataset(root, res=400, n_train=40, n_test=5):
+def make_dataset(root, res=400, n_train=40, n_test=5, n_blobs=60,
+                 pts_per_blob=150):
     """Render the GT scene into a Blender-format dataset (train +
     transforms_test.json held-out views)."""
     import jax
@@ -83,7 +84,7 @@ def make_dataset(root, res=400, n_train=40, n_test=5):
     from wast3d_tpu.core.camera import make_camera
     from wast3d_tpu.ops.rasterizer import api
 
-    scene = make_gt_scene()
+    scene = make_gt_scene(n_blobs=n_blobs, pts_per_blob=pts_per_blob)
     settings = api.RasterizeSettings(
         renderer="pallas", dup_capacity=1 << 20, phase_a_tiles=16
     )
@@ -144,6 +145,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=7000)
     ap.add_argument("--res", type=int, default=400)
+    ap.add_argument("--blobs", type=int, default=60,
+                    help="GT scene complexity (reconstruction N scales "
+                         "with it; 300+ drives N past 200k)")
+    ap.add_argument("--pts", type=int, default=150, help="points per blob")
+    ap.add_argument("--views", type=int, default=40, help="training views")
     ap.add_argument("--out", default="runs/qgate")
     ap.add_argument("--data", default=None, help="reuse an existing dataset")
     args = ap.parse_args()
@@ -160,7 +166,8 @@ def main():
     t0 = time.time()
     data = args.data or os.path.join(args.out, "data")
     if not os.path.exists(os.path.join(data, "transforms_train.json")):
-        make_dataset(data, res=args.res)
+        make_dataset(data, res=args.res, n_train=args.views,
+                     n_blobs=args.blobs, pts_per_blob=args.pts)
         print(f"dataset rendered ({time.time() - t0:.0f}s)")
 
     model = os.path.join(args.out, "model")
@@ -172,11 +179,13 @@ def main():
     settings = api.RasterizeSettings(
         renderer="pallas", dup_capacity=1 << 20, phase_a_tiles=16
     )
+    t_train0 = time.time()
     trainer = train_scene(
         source_path=data, model_path=model, iterations=args.iters,
         eval_split=True, save_iterations=[args.iters],
         opt_cfg=opt, settings=settings, quiet=True, log_every=500,
     )
+    train_wall = time.time() - t_train0
     print(f"trained {args.iters} iters ({time.time() - t0:.0f}s), "
           f"N={int(trainer.state.scene.num_active)}")
 
@@ -194,6 +203,8 @@ def main():
     res.update(iters=args.iters, res=args.res,
                n_gaussians=int(trainer.state.scene.num_active),
                wall_s=round(time.time() - t0, 1),
+               train_wall_s=round(train_wall, 1),
+               steps_per_s=round(args.iters / train_wall, 2),
                events=[h for h in trainer.history if "event" in h][-20:])
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "quality_gate.json"), "w") as f:

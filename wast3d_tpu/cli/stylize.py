@@ -20,7 +20,7 @@ def main() -> None:
     parser.add_argument("--output", required=True, type=str)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--max_style_points", type=int, default=2048)
+    parser.add_argument("--max_style_points", type=int, default=16384)
     add_config_args(parser, StylizeConfig())
     args = parser.parse_args()
     cfg = extract_config(StylizeConfig, args)

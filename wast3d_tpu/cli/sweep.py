@@ -19,7 +19,7 @@ def main() -> None:
     parser.add_argument("--output_dir", required=True, type=str)
     parser.add_argument("--data_axis", type=int, default=0,
                         help="mesh data-axis size (0 = all devices)")
-    parser.add_argument("--max_style_points", type=int, default=2048)
+    parser.add_argument("--max_style_points", type=int, default=16384)
     parser.add_argument("--seed", type=int, default=0)
     add_config_args(parser, StylizeConfig())
     args = parser.parse_args()

@@ -110,10 +110,12 @@ class StylizeConfig:
     ball_capacity: int = 2048  # static padded points per coverage ball
     max_balls: int = 512  # static upper bound on coverage balls
     desc_block: int = 2048  # descriptor-loss column block (memory knob)
-    # Fused Pallas descriptor-loss kernel (stylize/desc_kernel.py): ~8x on
-    # large patches, costs an [Mp, Mp] uint8 pair-code matrix in HBM.
-    # Applied when the padded patch is >= 2048 points.
-    desc_kernel: bool = False
+    # Fused Pallas descriptor-loss kernel (stylize/desc_kernel.py): ~2x on
+    # large patches vs the streaming XLA path, costs an [Mp, Mp] uint8
+    # pair-code matrix in HBM. Production default; auto-applied when the
+    # padded patch is >= 2048 points (below that the streaming path wins)
+    # and the backend is TPU. Disable for A/B parity runs.
+    desc_kernel: bool = True
     pallas_interpret: bool = False  # run stylize kernels interpreted (CPU)
 
 

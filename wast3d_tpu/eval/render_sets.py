@@ -8,6 +8,7 @@ under `<model_path>/<split>/ours_<iteration>/`.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import List, Optional, Tuple
 
@@ -29,6 +30,36 @@ def save_image(path: str, img: np.ndarray) -> None:
     Image.fromarray((np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)).save(path)
 
 
+def render_batch(
+    cameras: List[Camera],
+    scene: GaussianScene,
+    bg_color: jnp.ndarray,
+    settings: raster_api.RasterizeSettings = raster_api.RasterizeSettings(),
+) -> dict:
+    """Render B same-resolution views in ONE dispatch (vmap over the
+    camera pytree). Serving/eval throughput on the TPU is dispatch-latency
+    bound at small frames (~100 ms tunnel round-trips dwarf ~6 ms of
+    compute at 27k/400^2) — batching B views per dispatch amortizes that
+    latency B-fold. The reference renders one view per CUDA launch
+    (`render.py:30-35`); there is no analogue because CUDA launches are
+    cheap. Returns the render() dict with a leading [B] axis."""
+    cam_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
+    return _render_batch_cached(settings)(cam_batch, scene, bg_color)
+
+
+@functools.lru_cache(maxsize=16)
+def _render_batch_cached(settings):
+    # settings is a NamedTuple of python scalars -> hashable cache key.
+    @jax.jit
+    def f(cam_batch, scene, bg_color):
+        return jax.vmap(
+            lambda c: raster_api.render(c, scene, bg_color,
+                                        settings=settings)
+        )(cam_batch)
+
+    return f
+
+
 def render_set(
     model_path: str,
     name: str,
@@ -38,23 +69,29 @@ def render_set(
     bg_color: jnp.ndarray,
     settings: raster_api.RasterizeSettings = raster_api.RasterizeSettings(),
     save_depth: bool = False,
+    batch: int = 8,
 ) -> str:
     base = os.path.join(model_path, name, f"ours_{iteration}")
     render_dir = os.path.join(base, "renders")
     gt_dir = os.path.join(base, "gt")
-    render_fn = jax.jit(
-        lambda cam, sc: raster_api.render(cam, sc, bg_color, settings=settings)
-    )
-    for idx, (cam, gt) in enumerate(cameras):
-        out = render_fn(cam, scene)
-        save_image(os.path.join(render_dir, f"{idx:05d}.png"), out["render"])
-        if gt is not None:
-            save_image(os.path.join(gt_dir, f"{idx:05d}.png"), gt)
-        if save_depth:
-            d = np.asarray(out["depth"])
-            dn = (d - d.min()) / (np.ptp(d) + 1e-9)
-            save_image(os.path.join(base, "depth", f"{idx:05d}.png"),
-                       np.stack([dn] * 3, -1))
+    for b0 in range(0, len(cameras), batch):
+        group = cameras[b0:b0 + batch]
+        # Pad the tail by repeating the last view so every dispatch reuses
+        # the one compiled [batch]-shaped program.
+        padded = [c for c, _ in group] + [group[-1][0]] * (batch - len(group))
+        out = render_batch(padded, scene, bg_color, settings=settings)
+        renders = np.asarray(out["render"][:len(group)])
+        depths = np.asarray(out["depth"][:len(group)]) if save_depth else None
+        for j, (_, gt) in enumerate(group):
+            idx = b0 + j
+            save_image(os.path.join(render_dir, f"{idx:05d}.png"), renders[j])
+            if gt is not None:
+                save_image(os.path.join(gt_dir, f"{idx:05d}.png"), gt)
+            if save_depth:
+                d = depths[j]
+                dn = (d - d.min()) / (np.ptp(d) + 1e-9)
+                save_image(os.path.join(base, "depth", f"{idx:05d}.png"),
+                           np.stack([dn] * 3, -1))
     return base
 
 

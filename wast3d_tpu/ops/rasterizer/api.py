@@ -58,6 +58,11 @@ class RasterizeSettings(NamedTuple):
     big_budget_divisor: int = 16  # phase-B budget = N / divisor
     route_capacity: int = 0  # tile-sharded render: per-destination-shard
     # duplicate slots for the all_to_all (0 = auto from dup_capacity)
+    grad_reduce: str = "segsum"  # pallas path per-Gaussian gradient
+    # reduction: "segsum" (Pallas rank-major segment kernel, ~6 ms faster
+    # per train step at 856k dups) | "scatter" (XLA scatter-add, the
+    # bit-exact reference semantics; segsum matches to split-bf16
+    # accuracy ~2^-16 relative)
 
 
 def random_sampling_offsets(key: jax.Array, height: int, width: int) -> jnp.ndarray:
@@ -155,6 +160,7 @@ def render(
             interpret=settings.pallas_interpret,
             phase_a_tiles=settings.phase_a_tiles,
             big_budget_divisor=settings.big_budget_divisor,
+            grad_reduce=settings.grad_reduce,
         )
         color, depth, final_T = out.color, out.depth, out.final_T
         overflow, overflow_emit = out.overflow, out.overflow_emit

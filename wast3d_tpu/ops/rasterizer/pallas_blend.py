@@ -146,7 +146,12 @@ def _chunk_quantities(data, px, py, logT, done, start, end, off):
     # below eps, so T_prev(j) < eps can only follow an earlier trigger.
     done_incl = (done > 0.0) | (T_prev < T_EPS) | (trig > 0.0)  # (P,G)
     w = jnp.where(done_incl, 0.0, alpha * T_prev)
-    return alpha, T_prev, done_incl, w, trig
+    # s masked to contributing entries: callers fold it into the running
+    # logT (log1p(-alpha) of skipped/post-done entries is exactly 0/s
+    # respectively, so this REUSES the transcendental instead of a second
+    # log1p over (P, G) in the caller).
+    s_live = jnp.where(done_incl, 0.0, s)
+    return alpha, T_prev, done_incl, w, trig, s_live
 
 
 def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
@@ -191,7 +196,7 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
 
             dma(slot, c).wait()
             data = data_vmem[slot]  # (16,G)
-            alpha, T_prev, done_incl, w, trig = _chunk_quantities(
+            alpha, T_prev, done_incl, w, trig, s_live = _chunk_quantities(
                 data, px, py, logT, done, start, end, off
             )
             # acc += w @ data^T at 3 bf16 passes (see _split2 doc).
@@ -207,8 +212,7 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
                 + jax.lax.dot_general(
                     w_hi, d_lo, dims, preferred_element_type=jnp.float32)
             )  # (P,16)
-            contributed = jnp.where(done_incl, 0.0, alpha)
-            logT = logT + jnp.sum(jnp.log1p(-contributed), axis=1, keepdims=True)
+            logT = logT + jnp.sum(s_live, axis=1, keepdims=True)
             done = jnp.maximum(done, jnp.max(trig, axis=1, keepdims=True))
             return c + 1, logT, done, acc
 
@@ -302,7 +306,7 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
 
             in_dma(slot, c).wait()
             data = data_vmem[slot]
-            alpha, T_prev, done_incl, w, trig = _chunk_quantities(
+            alpha, T_prev, done_incl, w, trig, s_live = _chunk_quantities(
                 data, px, py, logT, done, start, end, off
             )
 
@@ -324,10 +328,15 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
             opa = data[R_OPA:R_OPA + 1, :]
             # alpha = min(0.99, opa*exp(power)); clamp kills the grad.
             unclamped = (alpha < ALPHA_MAX) & live
-            exp_pow = jnp.where(opa > 0.0, alpha / opa, 0.0)
-            dopa = jnp.sum(jnp.where(unclamped, dalpha * exp_pow, 0.0),
-                           axis=0, keepdims=True)  # (1,G)
             dpow = jnp.where(unclamped, dalpha * alpha, 0.0)
+            # dalpha*exp_pow = dalpha*alpha/opa = dpow/opa with opa
+            # constant per entry — divide once per (1,G) column AFTER the
+            # pixel reduction instead of a (P,G) divide+where.
+            dopa = jnp.where(
+                opa > 0.0,
+                jnp.sum(dpow, axis=0, keepdims=True) / opa,
+                0.0,
+            )  # (1,G)
 
             A = data[R_A:R_A + 1, :]
             B = data[R_B:R_B + 1, :]
@@ -364,10 +373,7 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
             dout_vmem[slot] = din_vmem[slot] + dgrad
             out_write(slot, c).start()
 
-            contributed = jnp.where(done_incl, 0.0, alpha)
-            logT = logT + jnp.sum(
-                jnp.log1p(-contributed), axis=1, keepdims=True
-            )
+            logT = logT + jnp.sum(s_live, axis=1, keepdims=True)
             done = jnp.maximum(done, jnp.max(trig, axis=1, keepdims=True))
             prefix = prefix + jnp.sum(qw, axis=1, keepdims=True)
             return c + 1, logT, done, prefix

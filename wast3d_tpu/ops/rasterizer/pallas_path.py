@@ -24,11 +24,65 @@ from wast3d_tpu.ops.rasterizer.preprocess import Preprocessed
 from wast3d_tpu.ops.rasterizer.tiled import RenderOutput, _tile_pixel_coords
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sorted_gather(source, safe_rank, grad_reduce):
+    """Depth-ordered rows -> sorted-duplicate rows; the K-row gather whose
+    autodiff transpose (a K->N scatter-add over `safe_rank`) is the train
+    step's single most expensive XLA op (~16 ms at 856k dups on v5e).
+    `grad_reduce` selects the backward implementation:
+      - "scatter": XLA scatter-add (the default / reference semantics).
+      - "segsum": rank-major Pallas segment reduction (sort + gather +
+        streaming kernel; see grad_reduce.py).
+      - "none" / "sortgather": measurement-only ablations (WRONG grads)
+        used to cost the reduction in situ (NOTES_PERF.md traps)."""
+    return source[safe_rank]
+
+
+def _sg_fwd(source, safe_rank, grad_reduce):
+    return source[safe_rank], (safe_rank, source.shape[0])
+
+
+def _sg_bwd(grad_reduce, res, d_sorted):
+    safe_rank, n1 = res
+    C = d_sorted.shape[1]
+    if grad_reduce == "none":
+        # Measurement only: drop the reduction but keep a data dependence.
+        d_source = jnp.zeros((n1, C), d_sorted.dtype).at[0, 0].add(
+            d_sorted[0, 0]
+        )
+    elif grad_reduce == "sortgather":
+        # Measurement only: pay the rank sort + K-row gather, skip the
+        # segment reduction (strided sum keeps the dependence).
+        k = safe_rank.shape[0]
+        _, perm = jax.lax.sort(
+            (safe_rank, jnp.arange(k, dtype=jnp.int32)), num_keys=1
+        )
+        g = d_sorted[perm]
+        d_source = jnp.zeros((n1, C), d_sorted.dtype).at[0].add(
+            jnp.sum(g[::257], axis=0)
+        )
+    elif grad_reduce == "segsum":
+        from wast3d_tpu.ops.rasterizer.grad_reduce import segment_reduce_by_rank
+
+        d_source = segment_reduce_by_rank(
+            d_sorted, safe_rank, n1,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        d_source = jnp.zeros((n1, C), d_sorted.dtype).at[safe_rank].add(
+            d_sorted
+        )
+    return d_source, None
+
+
+_sorted_gather.defvjp(_sg_fwd, _sg_bwd)
+
+
 @partial(
     jax.jit,
     static_argnames=("width", "height", "dup_capacity",
                      "max_tiles_per_gaussian", "interpret",
-                     "phase_a_tiles", "big_budget_divisor"),
+                     "phase_a_tiles", "big_budget_divisor", "grad_reduce"),
 )
 def render_pallas(
     prep: Preprocessed,
@@ -41,6 +95,7 @@ def render_pallas(
     interpret: bool = False,
     phase_a_tiles: int = 6,
     big_budget_divisor: int = 16,
+    grad_reduce: str = "scatter",
 ) -> RenderOutput:
     grid_x, grid_y = tile_grid(width, height)
     num_tiles = grid_x * grid_y
@@ -79,7 +134,7 @@ def render_pallas(
     source = jnp.concatenate(
         [packed_g[binning.depth_order], jnp.zeros((1, 10), jnp.float32)]
     )  # [N+1,10], row n = sentinel zeros
-    sorted_rows = source[safe_rank]  # [K,10]
+    sorted_rows = _sorted_gather(source, safe_rank, grad_reduce)  # [K,10]
     packed = jnp.pad(
         sorted_rows.T, ((0, pb.NROWS - sorted_rows.shape[1]), (0, pb.G))
     )  # [16, K+G]

@@ -133,7 +133,12 @@ def compute_target_descriptors(
     desc_l = descriptors_from_indices(pts, idx_l)
 
     mp = padded_patch_size(m, cfg.desc_block)
-    use_kernel = bool(getattr(cfg, "desc_kernel", False)) and mp >= 2048
+    # Kernel path needs a real TPU (or explicit interpret mode for tests);
+    # small patches stay on the streaming XLA path, which wins below 2048.
+    backend_ok = (jax.default_backend() == "tpu"
+                  or bool(getattr(cfg, "pallas_interpret", False)))
+    use_kernel = (bool(getattr(cfg, "desc_kernel", False)) and mp >= 2048
+                  and backend_ok)
     if use_kernel:
         from wast3d_tpu.stylize import desc_kernel as dk
 

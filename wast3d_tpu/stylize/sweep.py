@@ -57,7 +57,7 @@ def stylize_sweep(
     cfg: StylizeConfig = StylizeConfig(),
     mesh: Optional[Mesh] = None,
     seed: int = 0,
-    max_style_points: int = 2048,
+    max_style_points: int = 16384,
     verbose: bool = False,
 ) -> List[GaussianScene]:
     """Stylize one content scene with every style patch. Returns one
