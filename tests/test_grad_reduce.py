@@ -92,3 +92,45 @@ def test_gradients_match_scatter_mode_end_to_end():
     g_segsum = jax.grad(lambda x: loss(x, "segsum"))(scene.xyz)
     np.testing.assert_allclose(np.asarray(g_segsum), np.asarray(g_scatter),
                                rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("k,n1", [(1000, 300), (5000, 700), (4096, 513)])
+def test_sortpayload_matches_scatter(k, n1):
+    from wast3d_tpu.ops.rasterizer.grad_reduce import (
+        segment_reduce_by_rank_sortpayload,
+    )
+
+    rng = np.random.default_rng(k + 1)
+    d = rng.normal(size=(k, 10)).astype(np.float32)
+    ranks = rng.integers(0, n1, size=k).astype(np.int32)
+    got = segment_reduce_by_rank_sortpayload(
+        jnp.asarray(d), jnp.asarray(ranks), n1, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), _oracle(d, ranks, n1),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("k,n1", [(1000, 300), (5000, 700), (4097, 513)])
+def test_sortpacked_matches_scatter(k, n1):
+    # Per-duplicate payloads are quantized to bf16 (~2^-9 relative)
+    # before the f32 summation; tolerance reflects that bound times the
+    # worst-case duplicate count per rank.
+    from wast3d_tpu.ops.rasterizer.grad_reduce import (
+        segment_reduce_by_rank_sortpacked,
+    )
+
+    rng = np.random.default_rng(k + 2)
+    d = rng.normal(size=(k, 10)).astype(np.float32)
+    ranks = rng.integers(0, n1, size=k).astype(np.int32)
+    got = segment_reduce_by_rank_sortpacked(
+        jnp.asarray(d), jnp.asarray(ranks), n1, interpret=True
+    )
+    want = _oracle(d, ranks, n1)
+    bf16 = np.asarray(
+        jnp.asarray(d).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    want_q = _oracle(bf16, ranks, n1)
+    # Matches the bf16-quantized oracle tightly...
+    np.testing.assert_allclose(np.asarray(got), want_q, rtol=2e-4, atol=2e-4)
+    # ...and the f32 oracle within the quantization bound.
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-2)

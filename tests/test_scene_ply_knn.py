@@ -154,3 +154,34 @@ class TestKNN:
         out = np.asarray(knn.mean_sq_dist_to_3nn(jnp.asarray(pts), block=64))
         assert out.shape == (100,)
         assert np.all(np.isfinite(out))
+
+
+class TestKNNSortPath:
+    @pytest.mark.parametrize("n,m,k", [(300, 500, 100), (513, 4100, 64)])
+    def test_matches_topk_fold(self, n, m, k):
+        rng = np.random.default_rng(n)
+        q = rng.normal(size=(n, 3)).astype(np.float32)
+        d = rng.normal(size=(m, 3)).astype(np.float32)
+        df, _ = knn.knn_sq_dists(jnp.asarray(q), jnp.asarray(d), k=k)
+        ds, si = knn.knn_sq_dists_sort(jnp.asarray(q), jnp.asarray(d), k=k,
+                                       row_block=256)
+        np.testing.assert_allclose(np.asarray(ds), np.asarray(df),
+                                   rtol=1e-5, atol=1e-5)
+        # Indices agree with a numpy argsort oracle (ties measure-zero).
+        d2 = ((q[:, None, :] - d[None, :, :]) ** 2).sum(-1)
+        np.testing.assert_array_equal(np.asarray(si),
+                                      np.argsort(d2, axis=1)[:, :k])
+
+    def test_masks_and_exclude_self(self):
+        rng = np.random.default_rng(9)
+        pts = rng.normal(size=(200, 3)).astype(np.float32)
+        dmask = rng.uniform(size=200) > 0.3
+        qmask = rng.uniform(size=200) > 0.5
+        for f in (knn.knn_sq_dists, knn.knn_sq_dists_sort):
+            dd, ii = f(jnp.asarray(pts), jnp.asarray(pts), k=5,
+                       query_mask=jnp.asarray(qmask),
+                       data_mask=jnp.asarray(dmask), exclude_self=True)
+            dd, ii = np.asarray(dd), np.asarray(ii)
+            assert not np.any(ii[:, 0] == np.arange(200))
+            assert np.all(dmask[ii[qmask][:, 0]])
+            assert np.all(dd[~qmask] >= 1e29)

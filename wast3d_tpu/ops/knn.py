@@ -46,6 +46,64 @@ def pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(a2 + b2.T - 2.0 * cross, 0.0)
 
 
+@partial(jax.jit, static_argnames=("k", "row_block", "exclude_self"))
+def knn_sq_dists_sort(
+    query: jnp.ndarray,
+    data: jnp.ndarray,
+    k: int,
+    query_mask: Optional[jnp.ndarray] = None,
+    data_mask: Optional[jnp.ndarray] = None,
+    exclude_self: bool = False,
+    row_block: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`knn_sq_dists` via a full per-row sort instead of a folded top-k.
+
+    Same contract and exact results. Wins when k is LARGE: the top-k fold
+    costs O(k·M) VPU selection work per query row, while the bitonic sort
+    network is O(M log²M) with dense lane utilization — at the stylization
+    descriptor build (M=16k, k=100 local / k=2000 global) this is the
+    difference between ~60 s and ~2 s of build time (NOTES_PERF.md §4).
+    Memory is O(row_block · M); query rows are processed in sequential
+    blocks by `lax.map`.
+    """
+    n, m = query.shape[0], data.shape[0]
+    d2 = jnp.sum(data * data, axis=-1)
+    dmask = jnp.ones((m,), bool) if data_mask is None \
+        else data_mask.astype(bool)
+    col_idx = jnp.arange(m, dtype=jnp.int32)
+
+    q = _pad_rows(query, row_block)
+    nb = q.shape[0] // row_block
+    q_b = q.reshape(nb, row_block, -1)
+    rowid_b = jnp.arange(nb * row_block, dtype=jnp.int32).reshape(
+        nb, row_block
+    )
+
+    def body(inp):
+        qb, rows = inp
+        q2 = jnp.sum(qb * qb, axis=-1, keepdims=True)
+        cross = jax.lax.dot_general(
+            qb, data, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d = jnp.maximum(q2 + d2[None, :] - 2.0 * cross, 0.0)
+        d = jnp.where(dmask[None, :], d, _BIG)
+        if exclude_self:
+            d = jnp.where(col_idx[None, :] == rows[:, None], _BIG, d)
+        sd, si = jax.lax.sort(
+            (d, jnp.broadcast_to(col_idx[None, :], d.shape)),
+            dimension=1, num_keys=1,
+        )
+        return sd[:, :k], si[:, :k]
+
+    best_d, best_i = jax.lax.map(body, (q_b, rowid_b))
+    best_d = best_d.reshape(-1, k)[:n]
+    best_i = best_i.reshape(-1, k)[:n]
+    if query_mask is not None:
+        best_d = jnp.where(query_mask[:, None], best_d, _BIG)
+    return best_d, best_i
+
+
 @partial(jax.jit, static_argnames=("k", "block", "exclude_self"))
 def knn_sq_dists(
     query: jnp.ndarray,

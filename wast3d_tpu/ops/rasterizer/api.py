@@ -58,11 +58,19 @@ class RasterizeSettings(NamedTuple):
     big_budget_divisor: int = 16  # phase-B budget = N / divisor
     route_capacity: int = 0  # tile-sharded render: per-destination-shard
     # duplicate slots for the all_to_all (0 = auto from dup_capacity)
-    grad_reduce: str = "segsum"  # pallas path per-Gaussian gradient
-    # reduction: "segsum" (Pallas rank-major segment kernel, ~6 ms faster
-    # per train step at 856k dups) | "scatter" (XLA scatter-add, the
-    # bit-exact reference semantics; segsum matches to split-bf16
-    # accuracy ~2^-16 relative)
+    grad_reduce: str = "segsum_sortpacked"  # pallas path per-Gaussian
+    # gradient reduction (r3 in-situ step times at 200k/800^2):
+    #   "segsum_sortpacked" (default, 53.3 ms/step): rank-major order via
+    #     multi-operand lax.sort with the 10 gradient columns bf16-PACKED
+    #     in pairs into uint32 payloads, feeding the Pallas segment-sum
+    #     kernel. Per-duplicate values quantize to bf16 (~2^-9 relative)
+    #     before the f32 segment sum — the accuracy class of the
+    #     split-bf16 blend kernels that produced them.
+    #   "segsum_sortpayload" (56.6 ms): same, f32 payloads (no packing).
+    #   "segsum" (58.2 ms): K-row gather into rank order + kernel;
+    #     split-bf16 accuracy ~2^-16 relative.
+    #   "scatter" (64.4 ms): XLA scatter-add — bit-exact reference
+    #     semantics (backward.cu:552 atomicAdd, deterministic here).
 
 
 def random_sampling_offsets(key: jax.Array, height: int, width: int) -> jnp.ndarray:

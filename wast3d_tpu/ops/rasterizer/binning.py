@@ -101,17 +101,43 @@ def compute_rects(means2d, radii, grid_x: int, grid_y: int,
 
 
 def _phase_plan(n: int, ra: int, max_tiles: int, big_budget_divisor: int):
-    """Static emission budget schedule: (slots_start, slots, budget)."""
-    phases = [(0, ra, None)]
-    covered = ra
-    divisor = big_budget_divisor
-    while covered < max_tiles:
-        extra = min(max_tiles - covered, covered * 7)
-        budget = max(256, min(n, n // divisor))
-        phases.append((covered, extra, budget))
-        covered += extra
-        divisor *= 16
-    return phases
+    """Static emission budget schedule: (slots_start, slots, budget).
+
+    Two candidate shapes, picked per problem size (all static python at
+    trace time):
+      - "fat": bands grow 8x wide, budgets shrink 16x (the r2 plan) —
+        fewest phases, biggest grid.
+      - "lean": bands double, budgets shrink 4x — ~30% smaller grid,
+        one-two extra cumsum/selection phases.
+    XLA's TPU sort pads its operand to the next POWER OF TWO (measured
+    r3: shrinking the grid 2.02M -> 1.45M at n=200k changed nothing —
+    both pad to 2^21 — while r2's 13.25N -> 10.1N "win" was really the
+    2^22 -> 2^21 crossing). So the selection metric is the padded sort
+    size, with fewer phases as the tiebreak: at 200k that picks fat
+    (both pad to 2^21, fat has fewer cumsums), at 1M it picks lean
+    (6.8M pads to 2^23 vs fat 10.1M -> 2^24, halving the sort)."""
+
+    def build(grow, div_factor):
+        phases = [(0, ra, None)]
+        covered = ra
+        divisor = big_budget_divisor
+        while covered < max_tiles:
+            budget = max(256, min(n, n // divisor))
+            if budget == 256:
+                extra = max_tiles - covered  # floor band: take the rest
+            else:
+                extra = min(max_tiles - covered, covered * grow)
+            phases.append((covered, extra, budget))
+            covered += extra
+            divisor *= div_factor
+        return phases
+
+    def padded_grid(phases):
+        total = n * phases[0][1] + sum(e * b for _, e, b in phases[1:])
+        return 1 << (total - 1).bit_length()
+
+    candidates = [build(7, 16), build(2, 4)]
+    return min(candidates, key=lambda p: (padded_grid(p), len(p)))
 
 
 def bin_gaussians(

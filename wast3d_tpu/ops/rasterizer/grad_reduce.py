@@ -173,6 +173,131 @@ def _segsum_kernel(g_hbm, out_hbm, gv, stage, ring_ref, sem_g, sem_w):
 
 
 @functools.partial(jax.jit, static_argnames=("n1", "interpret"))
+def segment_reduce_by_rank_sortpayload(
+    d_sorted: jnp.ndarray, safe_rank: jnp.ndarray, n1: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Same contract as `segment_reduce_by_rank`, but rank-major order is
+    produced by a multi-operand `lax.sort` carrying the C gradient columns
+    as payloads — no K-row random gather at all. The gather is
+    latency-bound (~7 ns/row on v5e: 8.4 ms at 1.2M duplicates); the sort
+    network moves the payloads with sequential bandwidth instead."""
+    k, C = d_sorted.shape
+    kpad = -(-(k + 1) // G) * G
+    n1pad = -(-n1 // 128) * 128
+    if n1pad == n1:
+        n1pad += 128
+    sentinel = n1pad - 1
+    out_rows = n1pad + RING
+
+    ranks_p = jnp.pad(safe_rank, (0, kpad - k), constant_values=sentinel)
+    ops = (ranks_p,) + tuple(
+        jnp.pad(d_sorted[:, i], (0, kpad - k)) for i in range(C)
+    )
+    sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1)
+    zero = jnp.zeros((kpad,), jnp.float32)
+    rows = (
+        list(sorted_ops[1:])
+        + [zero] * (RANK_ROW - C)
+        + [sorted_ops[0].astype(jnp.float32)]  # exact: ranks < 2^24
+    )
+    gT = jnp.stack(rows, axis=0)  # [16, Kpad], row RANK_ROW = rank
+
+    out = pl.pallas_call(
+        _segsum_kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, NCOLS, G), jnp.float32),
+            pltpu.VMEM((2, RING // 2, OUT_W), jnp.float32),
+            pltpu.VMEM((RING, NCOLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((out_rows, OUT_W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(gT)
+    return out[:n1, :C]
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "interpret"))
+def segment_reduce_by_rank_sortpacked(
+    d_sorted: jnp.ndarray, safe_rank: jnp.ndarray, n1: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """`segment_reduce_by_rank_sortpayload` with the payload columns
+    rounded to bf16 and bit-packed in PAIRS into uint32 operands — half
+    the sort network traffic (6 operands instead of 11). Per-duplicate
+    gradients are quantized to bf16 (~2^-9 relative) BEFORE the f32
+    per-Gaussian summation; the summation itself stays f32-accurate.
+    This matches the accuracy class of the split-bf16 blend kernels that
+    produced the gradients."""
+    k, C = d_sorted.shape
+    kpad = -(-(k + 1) // G) * G
+    n1pad = -(-n1 // 128) * 128
+    if n1pad == n1:
+        n1pad += 128
+    sentinel = n1pad - 1
+    out_rows = n1pad + RING
+
+    ranks_p = jnp.pad(safe_rank, (0, kpad - k), constant_values=sentinel)
+
+    def pack_pair(i):
+        a = d_sorted[:, i].astype(jnp.bfloat16)
+        a_u = jax.lax.bitcast_convert_type(a, jnp.uint16).astype(jnp.uint32)
+        if i + 1 < C:
+            b = d_sorted[:, i + 1].astype(jnp.bfloat16)
+            b_u = jax.lax.bitcast_convert_type(b, jnp.uint16).astype(
+                jnp.uint32
+            )
+        else:
+            b_u = jnp.zeros_like(a_u)
+        return jnp.pad((a_u << 16) | b_u, (0, kpad - k))
+
+    ops = (ranks_p,) + tuple(pack_pair(i) for i in range(0, C, 2))
+    sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1)
+
+    def unpack(u):
+        hi = jax.lax.bitcast_convert_type(
+            (u >> 16).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32)
+        lo = jax.lax.bitcast_convert_type(
+            (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32)
+        return hi, lo
+
+    zero = jnp.zeros((kpad,), jnp.float32)
+    rows = []
+    for u in sorted_ops[1:]:
+        hi, lo = unpack(u)
+        rows.extend([hi, lo])
+    rows = rows[:C]
+    rows += [zero] * (RANK_ROW - C)
+    rows.append(sorted_ops[0].astype(jnp.float32))  # exact: ranks < 2^24
+    gT = jnp.stack(rows, axis=0)  # [16, Kpad], row RANK_ROW = rank
+
+    out = pl.pallas_call(
+        _segsum_kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, NCOLS, G), jnp.float32),
+            pltpu.VMEM((2, RING // 2, OUT_W), jnp.float32),
+            pltpu.VMEM((RING, NCOLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((out_rows, OUT_W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(gT)
+    return out[:n1, :C]
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "interpret"))
 def segment_reduce_by_rank(d_sorted: jnp.ndarray, safe_rank: jnp.ndarray,
                            n1: int, interpret: bool = False) -> jnp.ndarray:
     """Sum duplicate gradient rows per depth-rank.

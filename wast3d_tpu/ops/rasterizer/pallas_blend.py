@@ -51,14 +51,28 @@ from per-Gaussian arrays into sorted order stays in XLA autodiff.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-G = 128  # chunk size (entries per inner step; 256 measured WORSE
-# on v5e: +1.2ms/step from 4x tri-matmul FLOPs + coarser early exit)
+# Measurement-only ablations (NOTES_PERF methodology): comma-separated
+# flags in WAST3D_BLEND_ABLATE pick kernel variants with WRONG outputs
+# used to attribute in-situ cost. Never set in production.
+_ABLATE = frozenset(
+    f for f in os.environ.get("WAST3D_BLEND_ABLATE", "").split(",") if f
+)
+
+G = 128  # chunk size (entries per inner step). Wider chunks were tried
+# TWICE: flat G=256 in r2 (+1.2ms: 4x tri-matmul FLOPs, coarser exit)
+# and G=256 with the two-level _scan_dot in r3 (fwd -0.7ms but step
+# +0.6ms: (P,256) f32 intermediates are 64 vregs each, so the backward's
+# live set spills to VMEM and eats the halved per-chunk overhead).
+# G=128 keeps every (P,G) value at 32 vregs.
+SUB = 128  # scan sub-chunk (tri-matmul width; lane-alignment quantum)
+NSUB = G // SUB
 P = 256  # pixels per 16x16 tile
 NROWS = 16  # packed data rows
 TPP = 4  # tiles per grid program (amortizes per-program overhead)
@@ -95,6 +109,8 @@ def _split_dot(x, u_bf16):
     deviate slightly from an f32 reference. Parity-test tolerances
     (tests/test_pallas_blend.py) are set against this bound."""
     hi, lo = _split2(x)
+    if "scan1" in _ABLATE:  # measurement only: drop the lo pass
+        return jax.lax.dot(hi, u_bf16, preferred_element_type=jnp.float32)
     return (
         jax.lax.dot(hi, u_bf16, preferred_element_type=jnp.float32)
         + jax.lax.dot(lo, u_bf16, preferred_element_type=jnp.float32)
@@ -102,14 +118,33 @@ def _split_dot(x, u_bf16):
 
 
 def _tri_strict_upper():
-    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
     return (r < c).astype(jnp.bfloat16)  # U[k,j]=1 iff k<j
 
 def _tri_incl_upper():
-    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
     return (r <= c).astype(jnp.bfloat16)
+
+
+def _scan_dot(x, u_bf16):
+    """Two-level prefix scan of x (P, G) along lanes via SUB-wide
+    triangular matmuls (strict or inclusive per the mask): per-sub-chunk
+    scans plus a running carry — the G-wide scan at SUB^2 (not G^2)
+    matmul FLOPs."""
+    parts = []
+    carry = None
+    for i in range(NSUB):
+        xi = x[:, i * SUB:(i + 1) * SUB]
+        ei = _split_dot(xi, u_bf16)
+        if carry is not None:
+            ei = ei + carry
+        parts.append(ei)
+        if i + 1 < NSUB:
+            ti = jnp.sum(xi, axis=1, keepdims=True)
+            carry = ti if carry is None else carry + ti
+    return parts[0] if NSUB == 1 else jnp.concatenate(parts, axis=1)
 
 
 def _chunk_quantities(data, px, py, logT, done, start, end, off):
@@ -130,16 +165,24 @@ def _chunk_quantities(data, px, py, logT, done, start, end, off):
     dx = mx - px  # (P,G)
     dy = my - py
     power = -0.5 * (A * dx * dx + CC * dy * dy) - B * dx * dy
-    alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(jnp.minimum(power, 0.0)))
+    if "cheaptrans" in _ABLATE:  # measurement only: fake transcendentals
+        alpha = jnp.minimum(ALPHA_MAX, opa * (1.0 + jnp.minimum(power, 0.0)))
+    else:
+        alpha = jnp.minimum(
+            ALPHA_MAX, opa * jnp.exp(jnp.minimum(power, 0.0))
+        )
     skip = (power > 0.0) | (alpha < ALPHA_MIN) | ~col_valid
     alpha = jnp.where(skip, 0.0, alpha)
 
-    s = jnp.log1p(-alpha)
+    s = -alpha if "cheaptrans" in _ABLATE else jnp.log1p(-alpha)
     # Exclusive scan as a strictly-triangular matmul: benchmarked FASTER
     # than a log-doubling roll+add lane scan on v5e (lane shuffles are
     # expensive; the MXU eats the (G,G) product).
-    excl = _split_dot(s, _tri_strict_upper())  # (P,G)
-    T_prev = jnp.exp(logT + excl)
+    excl = _scan_dot(s, _tri_strict_upper())  # (P,G)
+    if "cheaptrans" in _ABLATE:
+        T_prev = 1.0 + (logT + excl)
+    else:
+        T_prev = jnp.exp(logT + excl)
     test_T = T_prev * (1.0 - alpha)
     trig = ((test_T < T_EPS) & (alpha > 0.0)).astype(jnp.float32)
     # Cumulative "done" without a second matmul: T_prev is monotone
@@ -184,6 +227,8 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
 
         def cond(state):
             c, logT, done, _ = state
+            if "noexit" in _ABLATE:  # measurement only: no early exit
+                return c < nchunks
             return (c < nchunks) & (jnp.min(done) < 0.5)
 
         def body(state):
@@ -201,18 +246,21 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
                 data, px, py, logT, done, start, end, off
             )
             # acc += w @ data^T at 3 bf16 passes (see _split2 doc).
-            w_hi, w_lo = _split2(w)
-            d_hi, d_lo = _split2(data)
-            dims = (((1,), (1,)), ((), ()))
-            acc = (
-                acc
-                + jax.lax.dot_general(
-                    w_hi, d_hi, dims, preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(
-                    w_lo, d_hi, dims, preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(
-                    w_hi, d_lo, dims, preferred_element_type=jnp.float32)
-            )  # (P,16)
+            if "noacc" in _ABLATE:  # measurement only: ablate acc matmuls
+                acc = acc + w[:, :NROWS]
+            else:
+                w_hi, w_lo = _split2(w)
+                d_hi, d_lo = _split2(data)
+                dims = (((1,), (1,)), ((), ()))
+                acc = (
+                    acc
+                    + jax.lax.dot_general(
+                        w_hi, d_hi, dims, preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        w_lo, d_hi, dims, preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        w_hi, d_lo, dims, preferred_element_type=jnp.float32)
+                )  # (P,16)
             logT = logT + jnp.sum(s_live, axis=1, keepdims=True)
             done = jnp.maximum(done, jnp.max(trig, axis=1, keepdims=True))
             return c + 1, logT, done, acc
@@ -293,6 +341,8 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
 
         def cond(state):
             c, logT, done, prefix = state
+            if "noexit" in _ABLATE:  # measurement only: no early exit
+                return c < nchunks
             return (c < nchunks) & (jnp.min(done) < 0.5)
 
         def body(state):
@@ -319,17 +369,25 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
                 + data[R_DEPTH:R_DEPTH + 1, :] * gd
             )  # (P,G)
             qw = q * w
+            # NOTE r3: a hi-only bf16 prefix pass was tried here (drop
+            # the lo pass of _split_dot) — it blew the scale-normalized
+            # gradient-parity tolerance 8x (1.7% error vs the tiled f32
+            # reference). The suffix-sum term amplifies per-chunk prefix
+            # noise; keep the split-bf16 two-pass scan.
             prefix_incl = prefix + _split_dot(qw, _tri_incl_upper())
             live = w > 0.0
             one_m = 1.0 - alpha
-            dalpha = jnp.where(
-                live, q * T_prev - (s_total - prefix_incl) / one_m, 0.0
-            )
 
             opa = data[R_OPA:R_OPA + 1, :]
             # alpha = min(0.99, opa*exp(power)); clamp kills the grad.
+            # dalpha is only consumed through dpow — fold its live-mask
+            # into the single where here (one (P,G) select, not two).
             unclamped = (alpha < ALPHA_MAX) & live
-            dpow = jnp.where(unclamped, dalpha * alpha, 0.0)
+            dpow = jnp.where(
+                unclamped,
+                (q * T_prev - (s_total - prefix_incl) / one_m) * alpha,
+                0.0,
+            )
             # dalpha*exp_pow = dalpha*alpha/opa = dpow/opa with opa
             # constant per entry — divide once per (1,G) column AFTER the
             # pixel reduction instead of a (P,G) divide+where.
@@ -346,11 +404,19 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
             my = data[R_MY:R_MY + 1, :]
             dx = mx - px
             dy = my - py
-            dmx = jnp.sum(dpow * (-A * dx - B * dy), axis=0, keepdims=True)
-            dmy = jnp.sum(dpow * (-CC * dy - B * dx), axis=0, keepdims=True)
-            dA = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
-            dB = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
-            dC = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
+            # Moment form: A/B/CC are constant per COLUMN, so they factor
+            # out of the pixel reductions — 5 (P,G) products + 5 sublane
+            # sums instead of 17 (P,G) passes, then (1,G) algebra. Same
+            # math reassociated (f32 rounding order differs immaterially).
+            dpx = dpow * dx
+            dpy = dpow * dy
+            Sx = jnp.sum(dpx, axis=0, keepdims=True)  # (1,G)
+            Sy = jnp.sum(dpy, axis=0, keepdims=True)
+            dmx = -(A * Sx + B * Sy)
+            dmy = -(CC * Sy + B * Sx)
+            dA = -0.5 * jnp.sum(dpx * dx, axis=0, keepdims=True)
+            dB = -jnp.sum(dpx * dy, axis=0, keepdims=True)
+            dC = -0.5 * jnp.sum(dpy * dy, axis=0, keepdims=True)
             ddepth = jnp.sum(w * gd, axis=0, keepdims=True)
             dr = jnp.sum(w * gcr, axis=0, keepdims=True)
             dg = jnp.sum(w * gcg, axis=0, keepdims=True)

@@ -68,6 +68,24 @@ def _sg_bwd(grad_reduce, res, d_sorted):
             d_sorted, safe_rank, n1,
             interpret=jax.default_backend() == "cpu",
         )
+    elif grad_reduce == "segsum_sortpayload":
+        from wast3d_tpu.ops.rasterizer.grad_reduce import (
+            segment_reduce_by_rank_sortpayload,
+        )
+
+        d_source = segment_reduce_by_rank_sortpayload(
+            d_sorted, safe_rank, n1,
+            interpret=jax.default_backend() == "cpu",
+        )
+    elif grad_reduce == "segsum_sortpacked":
+        from wast3d_tpu.ops.rasterizer.grad_reduce import (
+            segment_reduce_by_rank_sortpacked,
+        )
+
+        d_source = segment_reduce_by_rank_sortpacked(
+            d_sorted, safe_rank, n1,
+            interpret=jax.default_backend() == "cpu",
+        )
     else:
         d_source = jnp.zeros((n1, C), d_sorted.dtype).at[safe_rank].add(
             d_sorted

@@ -49,7 +49,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from wast3d_tpu.config import StylizeConfig
-from wast3d_tpu.ops.knn import knn_sq_dists, pairwise_sq_dists
+from wast3d_tpu.ops.knn import (knn_sq_dists, knn_sq_dists_sort,
+                                pairwise_sq_dists)
 
 _BIG = 1e30
 
@@ -127,8 +128,12 @@ def compute_target_descriptors(
     # QUERIES (identical indices, 20x less top-k work at the default
     # stride; the reference computes the full cdist then strides,
     # notebook 11 cell 28).
-    _, idx_g = knn_sq_dists(pts[:: cfg.global_stride], pts, k=kg)
-    _, idx_l = knn_sq_dists(pts, pts, k=kl)
+    # Large-k exact kNN goes through the per-row-sort path: the top-k
+    # fold is O(k·M) VPU work per row and dominated the 16k-patch build
+    # (~60 s); the sort path is ~2 s (knn_sq_dists_sort doc).
+    knn_big = knn_sq_dists_sort if max(kg, kl) >= 64 else knn_sq_dists
+    _, idx_g = knn_big(pts[:: cfg.global_stride], pts, k=kg)
+    _, idx_l = knn_big(pts, pts, k=kl)
     desc_g = descriptors_from_indices(pts, idx_g)
     desc_l = descriptors_from_indices(pts, idx_l)
 
