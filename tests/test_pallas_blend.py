@@ -10,8 +10,14 @@ from wast3d_tpu.ops.rasterizer import api
 from tests.test_rasterizer import _cam, _random_scene, _scene_from, BLACK, WHITE
 
 
+# grad_reduce pinned to "segsum" (split-bf16 class, ~2^-16): these tests
+# pin the KERNEL's gradient math against the tiled f32 reference at tight
+# tolerance. The production default ("segsum_sortpacked") quantizes
+# per-duplicate gradients to bf16 before the segment sum and has its own
+# tolerance-appropriate parity tests in test_grad_reduce.py.
 PALLAS = api.RasterizeSettings(
-    renderer="pallas", dup_capacity=1 << 13, pallas_interpret=True
+    renderer="pallas", dup_capacity=1 << 13, pallas_interpret=True,
+    grad_reduce="segsum",
 )
 TILED = api.RasterizeSettings(
     renderer="tiled", dup_capacity=1 << 13, max_per_tile=256, chunk=16

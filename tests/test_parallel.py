@@ -270,9 +270,13 @@ class TestTileShardedRender:
 
         scene, cam = self._setup()
         mesh = make_mesh(8, data=1)
+        # grad_reduce="segsum": the sharded and single-device paths
+        # reduce duplicates in different rank spaces, so the default
+        # bf16-quantized reduction rounds differently on each side; the
+        # split-bf16 segsum keeps the comparison at rtol 5e-4.
         settings = RasterizeSettings(
             renderer="pallas", dup_capacity=1 << 13, phase_a_tiles=16,
-            pallas_interpret=True,
+            pallas_interpret=True, grad_reduce="segsum",
         )
         bg = jnp.zeros(3)
         rng = np.random.default_rng(11)

@@ -164,13 +164,19 @@ def _chunk_quantities(data, px, py, logT, done, start, end, off):
 
     dx = mx - px  # (P,G)
     dy = my - py
-    power = -0.5 * (A * dx * dx + CC * dy * dy) - B * dx * dy
+    # Folded-coefficient form: Ah = -A/2, Ch = -C/2, Bn = -B cost three
+    # (1,G) column ops (1/P of a (P,G) pass) and save one full (P,G)
+    # pass vs -0.5*(...) - B dx dy. The min(power, 0) exp guard is
+    # dropped outright: the conic is PSD, so power <= 0 up to rounding,
+    # and a spuriously positive power is skip-masked below (exp overflow
+    # to +inf still yields alpha = 0.99 -> where(skip, 0) — finite
+    # either way).
+    power = ((-0.5 * A) * dx) * dx + ((-0.5 * CC) * dy) * dy \
+        + ((-B) * dx) * dy
     if "cheaptrans" in _ABLATE:  # measurement only: fake transcendentals
         alpha = jnp.minimum(ALPHA_MAX, opa * (1.0 + jnp.minimum(power, 0.0)))
     else:
-        alpha = jnp.minimum(
-            ALPHA_MAX, opa * jnp.exp(jnp.minimum(power, 0.0))
-        )
+        alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
     skip = (power > 0.0) | (alpha < ALPHA_MIN) | ~col_valid
     alpha = jnp.where(skip, 0.0, alpha)
 
@@ -184,11 +190,12 @@ def _chunk_quantities(data, px, py, logT, done, start, end, off):
     else:
         T_prev = jnp.exp(logT + excl)
     test_T = T_prev * (1.0 - alpha)
-    trig = ((test_T < T_EPS) & (alpha > 0.0)).astype(jnp.float32)
+    trig_b = (test_T < T_EPS) & (alpha > 0.0)
+    trig = trig_b.astype(jnp.float32)
     # Cumulative "done" without a second matmul: T_prev is monotone
     # non-increasing along the chunk and compositing stops BEFORE T drops
     # below eps, so T_prev(j) < eps can only follow an earlier trigger.
-    done_incl = (done > 0.0) | (T_prev < T_EPS) | (trig > 0.0)  # (P,G)
+    done_incl = (done > 0.0) | (T_prev < T_EPS) | trig_b  # (P,G)
     w = jnp.where(done_incl, 0.0, alpha * T_prev)
     # s masked to contributing entries: callers fold it into the running
     # logT (log1p(-alpha) of skipped/post-done entries is exactly 0/s

@@ -107,6 +107,24 @@ def _pack_pair_bits(idx: np.ndarray, rows: np.ndarray, mp: int) -> np.ndarray:
     return np.packbits(_pair_dense(idx, rows, mp), axis=1, bitorder="little")
 
 
+@partial(jax.jit, static_argnames=("mp",))
+def _pair_dense_dev(idx: jnp.ndarray, rows: jnp.ndarray, mp: int) -> jnp.ndarray:
+    """Device-side `_pair_dense`: [R,k] frozen NN indices (col 0 = self)
+    -> [mp, mp] uint8 0/1 pair mask (one scatter of R*(k-1) ones)."""
+    r = jnp.repeat(rows, idx.shape[1] - 1)
+    c = idx[:, 1:].reshape(-1)
+    return jnp.zeros((mp, mp), jnp.uint8).at[r, c].set(1, mode="drop")
+
+
+@jax.jit
+def _packbits_dev(dense: jnp.ndarray) -> jnp.ndarray:
+    """Device-side np.packbits(axis=1, bitorder='little'):
+    [R, C] u8 0/1 -> [R, C//8] u8."""
+    r, c = dense.shape
+    w = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, None, :]
+    return jnp.sum(dense.reshape(r, c // 8, 8) * w, axis=-1, dtype=jnp.uint8)
+
+
 def _unpack_bits(bits: jnp.ndarray) -> jnp.ndarray:
     """[R, C//8] uint8 -> [R, C] f32 (little-endian bit order)."""
     b = bits.astype(jnp.int32)
@@ -148,21 +166,24 @@ def compute_target_descriptors(
         from wast3d_tpu.stylize import desc_kernel as dk
 
         mp = -(-mp // dk.BC) * dk.BC  # kernel block alignment
-    rows_g = np.arange(m, dtype=np.int32)[:: cfg.global_stride]
-    rows_l = np.arange(m, dtype=np.int32)
-    dense_g = _pair_dense(np.asarray(idx_g), rows_g, mp)
-    dense_l = _pair_dense(np.asarray(idx_l), rows_l, mp)
+    rows_g = jnp.arange(m, dtype=jnp.int32)[:: cfg.global_stride]
+    rows_l = jnp.arange(m, dtype=jnp.int32)
+    # Mask/pack construction runs ON DEVICE: at 16k the dense masks are
+    # 268 MB each — the old host-numpy build plus the pair_code tunnel
+    # transfer dominated the descriptor build wall time.
+    dense_g = _pair_dense_dev(idx_g, rows_g, mp)
+    dense_l = _pair_dense_dev(idx_l, rows_l, mp)
     pair_code = None
     if use_kernel:
-        pair_code = jnp.asarray(dense_g + 2 * dense_l)  # [mp, mp] u8
-    bits_g = np.packbits(dense_g, axis=1, bitorder="little")
-    bits_l = np.packbits(dense_l, axis=1, bitorder="little")
+        pair_code = dense_g + 2 * dense_l  # [mp, mp] u8
+    bits_g = _packbits_dev(dense_g)
+    bits_l = _packbits_dev(dense_l)
     pts_pad = jnp.pad(pts, ((0, mp - m), (0, 0)))
     return TargetDescriptors(
         idx_g, desc_g, idx_l, desc_l,
         points=pts_pad,
-        bits_global=jnp.asarray(bits_g),
-        bits_local=jnp.asarray(bits_l),
+        bits_global=bits_g,
+        bits_local=bits_l,
         coef_global=jnp.float32(cfg.w_global / desc_g.size),
         coef_local=jnp.float32(cfg.w_local / desc_l.size),
         pair_code=pair_code,
