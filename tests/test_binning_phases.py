@@ -200,3 +200,40 @@ class TestSlotDecode:
         got = set(tiles[valid].tolist())
         want = {ty * w_tiles + tx for ty in (1, 2) for tx in range(2, 43)}
         assert got == want
+
+
+class TestPhasePlanSelector:
+    def test_padded_sort_size_selection(self):
+        """The plan is picked by PADDED sort size (XLA TPU sort pads its
+        operand to the next power of two), fewest phases as tiebreak:
+        at 200k both candidates pad to 2^21 so the fat plan (fewest
+        cumsum/selection phases) wins; at 1M the lean plan crosses a
+        boundary (2^23 vs the fat plan's 2^24) and halves the sort."""
+        from wast3d_tpu.ops.rasterizer.binning import _phase_plan
+
+        def padded(n, plan):
+            total = n * plan[0][1] + sum(e * b for _, e, b in plan[1:])
+            return 1 << (total - 1).bit_length()
+
+        p200 = _phase_plan(200_000, 6, 512, 16)
+        assert padded(200_000, p200) == 1 << 21
+        assert len(p200) == 4  # fat: phase A + 3 bands
+        p1m = _phase_plan(1_000_000, 6, 512, 16)
+        assert padded(1_000_000, p1m) == 1 << 23
+        assert len(p1m) > len(p200)  # lean trades phases for sort size
+
+    def test_full_rect_coverage_any_plan(self):
+        """Every plan must cover max_tiles_per_gaussian slots exactly."""
+        from wast3d_tpu.ops.rasterizer.binning import _phase_plan
+
+        for n in (1000, 50_000, 200_000, 1_000_000, 4_000_000):
+            for ra in (4, 6, 16):
+                plan = _phase_plan(n, ra, 512, 16)
+                assert plan[0] == (0, ra, None)
+                covered = sum(e for _, e, _ in plan)
+                assert covered == 512, (n, ra, plan)
+                # Contiguous, non-overlapping bands.
+                pos = 0
+                for s, e, _ in plan:
+                    assert s == pos
+                    pos += e

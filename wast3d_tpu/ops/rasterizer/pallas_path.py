@@ -29,10 +29,13 @@ def _sorted_gather(source, safe_rank, grad_reduce):
     """Depth-ordered rows -> sorted-duplicate rows; the K-row gather whose
     autodiff transpose (a K->N scatter-add over `safe_rank`) is the train
     step's single most expensive XLA op (~16 ms at 856k dups on v5e).
-    `grad_reduce` selects the backward implementation:
-      - "scatter": XLA scatter-add (the default / reference semantics).
-      - "segsum": rank-major Pallas segment reduction (sort + gather +
-        streaming kernel; see grad_reduce.py).
+    `grad_reduce` selects the backward implementation (measured step
+    times in RasterizeSettings doc):
+      - "segsum_sortpacked": rank sort carrying bf16-packed gradient
+        pairs as uint32 payloads + streaming kernel (the DEFAULT).
+      - "segsum_sortpayload": same with f32 payloads.
+      - "segsum": rank sort + K-row gather + streaming kernel.
+      - "scatter": XLA scatter-add (bit-exact reference semantics).
       - "none" / "sortgather": measurement-only ablations (WRONG grads)
         used to cost the reduction in situ (NOTES_PERF.md traps)."""
     return source[safe_rank]
