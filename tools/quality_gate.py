@@ -36,7 +36,35 @@ def _enable_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def make_gt_scene(n_blobs=60, pts_per_blob=150, seed=3):
+def _gt_arrays(n_blobs=60, pts_per_blob=150, seed=3, detail=False):
+    """Raw GT splat arrays. `detail=True` makes the scene high-frequency
+    the way real captures are (independent per-point colors, tighter
+    splats): a reconstruction then NEEDS hundreds of thousands of small
+    splats, which is what drives densification into the reference's
+    config-2/3 N range at default thresholds."""
+    rng = np.random.default_rng(seed)
+    xyz, rgb, scal = [], [], []
+    for _ in range(n_blobs):
+        c = rng.normal(size=3)
+        c = c / np.linalg.norm(c) * rng.uniform(0.5, 1.0)
+        color = rng.uniform(0.1, 0.95, 3)
+        sigma = rng.uniform(0.008, 0.035) if detail else rng.uniform(0.02, 0.08)
+        p = c + rng.normal(size=(pts_per_blob, 3)) * sigma
+        xyz.append(p)
+        if detail:
+            rgb.append(rng.uniform(0.05, 0.95, (pts_per_blob, 3)))
+            scal.append(np.full((pts_per_blob, 3), sigma * 0.35))
+        else:
+            rgb.append(np.tile(color, (pts_per_blob, 1))
+                       * rng.uniform(0.7, 1.3, (pts_per_blob, 1)).clip(0, 1))
+            scal.append(np.full((pts_per_blob, 3), sigma * 0.6))
+    xyz = np.concatenate(xyz).astype(np.float32)
+    rgb = np.clip(np.concatenate(rgb), 0, 1).astype(np.float32)
+    scal = np.log(np.concatenate(scal)).astype(np.float32)
+    return xyz, rgb, scal
+
+
+def make_gt_scene(n_blobs=60, pts_per_blob=150, seed=3, detail=False):
     """Procedural ground truth: colored Gaussian blobs on and inside a
     sphere shell — enough structure that reconstruction needs thousands
     of well-placed splats."""
@@ -46,21 +74,7 @@ def make_gt_scene(n_blobs=60, pts_per_blob=150, seed=3):
     from wast3d_tpu.core.transforms import inverse_sigmoid
     from wast3d_tpu.scene import gaussians as G
 
-    rng = np.random.default_rng(seed)
-    xyz, rgb, scal = [], [], []
-    for _ in range(n_blobs):
-        c = rng.normal(size=3)
-        c = c / np.linalg.norm(c) * rng.uniform(0.5, 1.0)
-        color = rng.uniform(0.1, 0.95, 3)
-        sigma = rng.uniform(0.02, 0.08)
-        p = c + rng.normal(size=(pts_per_blob, 3)) * sigma
-        xyz.append(p)
-        rgb.append(np.tile(color, (pts_per_blob, 1))
-                   * rng.uniform(0.7, 1.3, (pts_per_blob, 1)).clip(0, 1))
-        scal.append(np.full((pts_per_blob, 3), sigma * 0.6))
-    xyz = np.concatenate(xyz).astype(np.float32)
-    rgb = np.clip(np.concatenate(rgb), 0, 1).astype(np.float32)
-    scal = np.log(np.concatenate(scal)).astype(np.float32)
+    xyz, rgb, scal = _gt_arrays(n_blobs, pts_per_blob, seed, detail)
     n = len(xyz)
     return G.from_arrays(
         xyz=xyz,
@@ -74,9 +88,15 @@ def make_gt_scene(n_blobs=60, pts_per_blob=150, seed=3):
 
 
 def make_dataset(root, res=400, n_train=40, n_test=5, n_blobs=60,
-                 pts_per_blob=150):
+                 pts_per_blob=150, detail=False, init_gt=False):
     """Render the GT scene into a Blender-format dataset (train +
-    transforms_test.json held-out views)."""
+    transforms_test.json held-out views).
+
+    `init_gt=True` writes the (jittered) GT point cloud as points3d.ply —
+    the analogue of the reference's COLMAP/SfM initialization
+    (`scene/dataset_readers.py` fetchPly path): real runs start from
+    structure-bearing points, not a random cube, and their final N scales
+    from that seeding."""
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -84,11 +104,22 @@ def make_dataset(root, res=400, n_train=40, n_test=5, n_blobs=60,
     from wast3d_tpu.core.camera import make_camera
     from wast3d_tpu.ops.rasterizer import api
 
-    scene = make_gt_scene(n_blobs=n_blobs, pts_per_blob=pts_per_blob)
+    scene = make_gt_scene(n_blobs=n_blobs, pts_per_blob=pts_per_blob,
+                          detail=detail)
     settings = api.RasterizeSettings(
         renderer="pallas", dup_capacity=1 << 20, phase_a_tiles=16
     )
     os.makedirs(root, exist_ok=True)
+    if init_gt:
+        from wast3d_tpu.scene.datasets import store_ply_points
+
+        xyz, rgb, _ = _gt_arrays(n_blobs, pts_per_blob, detail=detail)
+        rng = np.random.default_rng(11)
+        store_ply_points(
+            os.path.join(root, "points3d.ply"),
+            xyz + rng.normal(size=xyz.shape).astype(np.float32) * 0.01,
+            np.clip(rgb + rng.normal(size=rgb.shape) * 0.1, 0, 1) * 255,
+        )
     fovx = 0.8
 
     @jax.jit
@@ -150,6 +181,13 @@ def main():
                          "with it; 300+ drives N past 200k)")
     ap.add_argument("--pts", type=int, default=150, help="points per blob")
     ap.add_argument("--views", type=int, default=40, help="training views")
+    ap.add_argument("--detail", action="store_true",
+                    help="high-frequency GT (per-point colors, small "
+                         "splats) — drives reconstruction N into the "
+                         "reference's config-2/3 range")
+    ap.add_argument("--init-gt", action="store_true",
+                    help="seed points3d.ply from jittered GT points "
+                         "(the COLMAP/SfM-init analogue)")
     ap.add_argument("--out", default="runs/qgate")
     ap.add_argument("--data", default=None, help="reuse an existing dataset")
     args = ap.parse_args()
@@ -167,7 +205,8 @@ def main():
     data = args.data or os.path.join(args.out, "data")
     if not os.path.exists(os.path.join(data, "transforms_train.json")):
         make_dataset(data, res=args.res, n_train=args.views,
-                     n_blobs=args.blobs, pts_per_blob=args.pts)
+                     n_blobs=args.blobs, pts_per_blob=args.pts,
+                     detail=args.detail, init_gt=args.init_gt)
         print(f"dataset rendered ({time.time() - t0:.0f}s)")
 
     model = os.path.join(args.out, "model")
@@ -176,8 +215,14 @@ def main():
         position_lr_max_steps=args.iters,
         densify_until_iter=args.iters // 2,
     )
+    # Duplicate budget ~5x the initial point count (measured dup/N at the
+    # gate scenes is ~3-4): avoids the first few overflow->grow recompiles
+    # when seeding from a large GT point cloud.
+    n0 = args.blobs * args.pts if args.init_gt else 100_000
     settings = api.RasterizeSettings(
-        renderer="pallas", dup_capacity=1 << 20, phase_a_tiles=16
+        renderer="pallas",
+        dup_capacity=max(1 << 20, 1 << (5 * n0 - 1).bit_length()),
+        phase_a_tiles=16,
     )
     t_train0 = time.time()
     trainer = train_scene(
@@ -200,7 +245,8 @@ def main():
                              settings=trainer.settings)
             vals.append(float(psnr(out["render"], gt)))
         res[f"psnr_{split}"] = round(float(np.mean(vals)), 3)
-    res.update(iters=args.iters, res=args.res,
+    res.update(iters=args.iters, res=args.res, blobs=args.blobs,
+               pts=args.pts, detail=args.detail, init_gt=args.init_gt,
                n_gaussians=int(trainer.state.scene.num_active),
                wall_s=round(time.time() - t0, 1),
                train_wall_s=round(train_wall, 1),
