@@ -78,6 +78,42 @@ class TestForwardParity:
             np.asarray(p["final_T"]), np.asarray(t["final_T"]), atol=3e-3
         )
 
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_fast_chain_close_to_f32(self, seed):
+        """fast_chain=True (bf16 forward elementwise chain) is an
+        approximate mode by contract: assert it stays within the bf16
+        error class (~0.3% alpha -> ~1e-2 color) of the f32 chain, and
+        that gradients (computed by the f32 backward) stay close."""
+        cam = _cam(w=80, h=48)
+        s = _random_scene(n=120, seed=seed)
+        fast = PALLAS._replace(fast_chain=True)
+        p = api.render(cam, s, WHITE, settings=PALLAS)
+        f = api.render(cam, s, WHITE, settings=fast)
+        assert not bool(f["overflow"])
+        np.testing.assert_allclose(
+            np.asarray(f["render"]), np.asarray(p["render"]), atol=3e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(f["final_T"]), np.asarray(p["final_T"]), atol=3e-2
+        )
+
+        # Smooth loss with a target far from the render: an L1 against
+        # the render itself would differentiate sign(noise).
+        ramp = jnp.linspace(0.0, 1.0, cam.height)[:, None, None]
+
+        def loss(xyz, settings):
+            out = api.render(cam, s.replace(xyz=xyz), WHITE,
+                             settings=settings)
+            return jnp.mean(out["render"] ** 2 * ramp)
+
+        g_ref = jax.grad(loss)(s.xyz, PALLAS)
+        g_fast = jax.grad(loss)(s.xyz, fast)
+        scale = float(jnp.max(jnp.abs(g_ref))) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(g_fast) / scale, np.asarray(g_ref) / scale,
+            atol=8e-2,
+        )
+
     def test_with_jitter(self):
         cam = _cam(w=32, h=32)
         s = _random_scene(n=50, seed=2)

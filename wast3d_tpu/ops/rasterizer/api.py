@@ -58,6 +58,10 @@ class RasterizeSettings(NamedTuple):
     big_budget_divisor: int = 16  # phase-B budget = N / divisor
     route_capacity: int = 0  # tile-sharded render: per-destination-shard
     # duplicate slots for the all_to_all (0 = auto from dup_capacity)
+    fast_chain: bool = False  # pallas path: bf16 elementwise chain in the
+    # FORWARD blend kernel (backward stays f32). ~0.3%-class alpha error
+    # vs the f32 chain — NOT bit-comparable; opt in for serving / after
+    # quality-gating for training.
     grad_reduce: str = "segsum_sortpacked"  # pallas path per-Gaussian
     # gradient reduction (r3 in-situ step times at 200k/800^2):
     #   "segsum_sortpacked" (default, 53.3 ms/step): rank-major order via
@@ -169,6 +173,7 @@ def render(
             phase_a_tiles=settings.phase_a_tiles,
             big_budget_divisor=settings.big_budget_divisor,
             grad_reduce=settings.grad_reduce,
+            fast_chain=settings.fast_chain,
         )
         color, depth, final_T = out.color, out.depth, out.final_T
         overflow, overflow_emit = out.overflow, out.overflow_emit

@@ -150,7 +150,7 @@ def _scan_dot(x, u_bf16):
 def _chunk_quantities(data, px, py, logT, done, start, end, off):
     """Shared forward recomputation for one chunk.
 
-    data: (16, G); px/py: (P, 1); logT/done: (P, 1).
+    data: (16, G); px/py: (P, 1); logT: (P, 1) f32; done: (P, 1) bool.
     All pixel x entry matrices are (P, G)."""
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1) + off
     col_valid = (cols >= start) & (cols < end)  # (1,G)
@@ -160,7 +160,11 @@ def _chunk_quantities(data, px, py, logT, done, start, end, off):
     A = data[R_A:R_A + 1, :]
     B = data[R_B:R_B + 1, :]
     CC = data[R_CC:R_CC + 1, :]
-    opa = data[R_OPA:R_OPA + 1, :]
+    # Folding the range mask into opacity keeps every downstream mask a
+    # pure data predicate: out-of-range columns get alpha == 0 < ALPHA_MIN
+    # and fall into `skip` for free — one (1,G) select instead of an
+    # (P,G) broadcast `| ~col_valid` in the skip mask.
+    opa = jnp.where(col_valid, data[R_OPA:R_OPA + 1, :], 0.0)
 
     dx = mx - px  # (P,G)
     dy = my - py
@@ -177,7 +181,7 @@ def _chunk_quantities(data, px, py, logT, done, start, end, off):
         alpha = jnp.minimum(ALPHA_MAX, opa * (1.0 + jnp.minimum(power, 0.0)))
     else:
         alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
-    skip = (power > 0.0) | (alpha < ALPHA_MIN) | ~col_valid
+    skip = (power > 0.0) | (alpha < ALPHA_MIN)
     alpha = jnp.where(skip, 0.0, alpha)
 
     s = -alpha if "cheaptrans" in _ABLATE else jnp.log1p(-alpha)
@@ -190,28 +194,90 @@ def _chunk_quantities(data, px, py, logT, done, start, end, off):
     else:
         T_prev = jnp.exp(logT + excl)
     test_T = T_prev * (1.0 - alpha)
-    trig_b = (test_T < T_EPS) & (alpha > 0.0)
-    trig = trig_b.astype(jnp.float32)
-    # Cumulative "done" without a second matmul: T_prev is monotone
-    # non-increasing along the chunk and compositing stops BEFORE T drops
-    # below eps, so T_prev(j) < eps can only follow an earlier trigger.
-    done_incl = (done > 0.0) | (T_prev < T_EPS) | trig_b  # (P,G)
+    # done_incl == done | (T_prev < eps) | ((test_T < eps) & (alpha > 0))
+    # collapses to a single compare: test_T is monotone non-increasing
+    # along the chunk (test_T[j] = T_prev[j+1] and T_prev[j+1](1-a) <=
+    # T_prev[j+1]), and test_T < eps iff the entry triggers (alpha > 0)
+    # or T_prev was already below eps (alpha == 0 -> test_T == T_prev).
+    # The set equality is exact, not an approximation.
+    done_incl = done | (test_T < T_EPS)  # (P,G); done is (P,1) bool
     w = jnp.where(done_incl, 0.0, alpha * T_prev)
     # s masked to contributing entries: callers fold it into the running
     # logT (log1p(-alpha) of skipped/post-done entries is exactly 0/s
     # respectively, so this REUSES the transcendental instead of a second
-    # log1p over (P, G) in the caller).
+    # log1p over (P, G) in the caller). By the same monotonicity,
+    # done_incl's LAST column is this chunk's carry-out done flag — no
+    # f32 cast + lane max-reduce needed in the callers.
     s_live = jnp.where(done_incl, 0.0, s)
-    return alpha, T_prev, done_incl, w, trig, s_live
+    return alpha, T_prev, done_incl, w, s_live
+
+
+def _chunk_quantities_fast(data, px, py, logT, done, start, end, off):
+    """bf16 variant of `_chunk_quantities` (the `fast_chain` mode): the
+    ~30-op (P,G) elementwise chain is the VPU-throughput bound of the
+    whole rasterizer, and bf16 elementwise ops run at 2x f32 rate.
+
+    Validity rests on the recentred packing (pallas_path.py): means and
+    pixel coords are tile-local, so bf16's 8-bit mantissa gives subpixel
+    dx/dy error for typical splats (error scales with splat extent, and
+    large-extent splats have proportionally small conic curvature). The
+    transmittance accumulator logT stays f32 across chunks (per-chunk
+    bf16 contributions, f32 running sum), bounding drift. Measured class:
+    ~0.3% alpha error; NOT bit-comparable to the f32 chain — opt-in via
+    RasterizeSettings.fast_chain, quality-gated before defaulting."""
+    bf = jnp.bfloat16
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1) + off
+    col_valid = (cols >= start) & (cols < end)  # (1,G)
+
+    mx = data[R_MX:R_MX + 1, :].astype(bf)  # (1,G)
+    my = data[R_MY:R_MY + 1, :].astype(bf)
+    # Folded coefficients computed in f32 (per-column, 1/P cost), then
+    # cast once.
+    Ah = (-0.5 * data[R_A:R_A + 1, :]).astype(bf)
+    Ch = (-0.5 * data[R_CC:R_CC + 1, :]).astype(bf)
+    Bn = (-data[R_B:R_B + 1, :]).astype(bf)
+    opa = jnp.where(col_valid, data[R_OPA:R_OPA + 1, :], 0.0).astype(bf)
+
+    dx = mx - px.astype(bf)  # (P,G) bf16
+    dy = my - py.astype(bf)
+    power = (Ah * dx) * dx + (Ch * dy) * dy + (Bn * dx) * dy
+    alpha = jnp.minimum(bf(ALPHA_MAX), opa * jnp.exp(power))
+    skip = (power > bf(0)) | (alpha < bf(ALPHA_MIN))
+    alpha = jnp.where(skip, bf(0), alpha)
+
+    s = jnp.log1p(-alpha)  # (P,G) bf16
+    # Single-pass bf16 scan (the hi/lo split exists to recover f32-ish
+    # accuracy — pointless when the operand is already bf16).
+    parts = []
+    carry = None
+    u = _tri_strict_upper()
+    for i in range(NSUB):
+        si = s[:, i * SUB:(i + 1) * SUB]
+        ei = jax.lax.dot(si, u, preferred_element_type=jnp.float32)
+        if carry is not None:
+            ei = ei + carry
+        parts.append(ei)
+        if i + 1 < NSUB:
+            ti = jnp.sum(si.astype(jnp.float32), axis=1, keepdims=True)
+            carry = ti if carry is None else carry + ti
+    excl = parts[0] if NSUB == 1 else jnp.concatenate(parts, axis=1)  # f32
+
+    T_prev = jnp.exp((logT + excl).astype(bf))  # (P,G) bf16
+    test_T = T_prev * (bf(1) - alpha)
+    done_incl = done | (test_T < bf(T_EPS))  # see _chunk_quantities note
+    w = jnp.where(done_incl, bf(0), alpha * T_prev)
+    s_live = jnp.where(done_incl, bf(0), s)
+    return alpha, T_prev, done_incl, w, s_live
 
 
 def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
-                data_vmem, sem):
+                data_vmem, sem, *, fast=False):
     """Forward blend. Processes TPP tiles per grid program (amortizing
     per-program overhead) with double-buffered chunk DMA: the copy for
     chunk c+1 is in flight while chunk c computes (the CUDA kernel gets
     the same overlap from its cooperative shared-memory fetch)."""
     prog = pl.program_id(0)
+    chunk_fn = _chunk_quantities_fast if fast else _chunk_quantities
 
     def one_tile(ti, _):
         t = prog * TPP + ti
@@ -236,7 +302,7 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
             c, logT, done, _ = state
             if "noexit" in _ABLATE:  # measurement only: no early exit
                 return c < nchunks
-            return (c < nchunks) & (jnp.min(done) < 0.5)
+            return (c < nchunks) & ~jnp.all(done)
 
         def body(state):
             c, logT, done, acc = state
@@ -249,33 +315,53 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
 
             dma(slot, c).wait()
             data = data_vmem[slot]  # (16,G)
-            alpha, T_prev, done_incl, w, trig, s_live = _chunk_quantities(
+            alpha, T_prev, done_incl, w, s_live = chunk_fn(
                 data, px, py, logT, done, start, end, off
             )
-            # acc += w @ data^T at 3 bf16 passes (see _split2 doc).
+            # acc += w @ data^T at 3 bf16 passes (see _split2 doc); in
+            # fast mode w is already bf16 (2 passes, data still split).
             if "noacc" in _ABLATE:  # measurement only: ablate acc matmuls
-                acc = acc + w[:, :NROWS]
+                acc = acc + w[:, :NROWS].astype(jnp.float32)
             else:
-                w_hi, w_lo = _split2(w)
                 d_hi, d_lo = _split2(data)
                 dims = (((1,), (1,)), ((), ()))
-                acc = (
-                    acc
-                    + jax.lax.dot_general(
-                        w_hi, d_hi, dims, preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(
-                        w_lo, d_hi, dims, preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(
-                        w_hi, d_lo, dims, preferred_element_type=jnp.float32)
-                )  # (P,16)
-            logT = logT + jnp.sum(s_live, axis=1, keepdims=True)
-            done = jnp.maximum(done, jnp.max(trig, axis=1, keepdims=True))
+                if fast:
+                    acc = (
+                        acc
+                        + jax.lax.dot_general(
+                            w, d_hi, dims,
+                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                            w, d_lo, dims,
+                            preferred_element_type=jnp.float32)
+                    )  # (P,16)
+                else:
+                    w_hi, w_lo = _split2(w)
+                    acc = (
+                        acc
+                        + jax.lax.dot_general(
+                            w_hi, d_hi, dims,
+                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                            w_lo, d_hi, dims,
+                            preferred_element_type=jnp.float32)
+                        + jax.lax.dot_general(
+                            w_hi, d_lo, dims,
+                            preferred_element_type=jnp.float32)
+                    )  # (P,16)
+            if fast:
+                s_sum = jnp.sum(s_live.astype(jnp.float32), axis=1,
+                                keepdims=True)
+            else:
+                s_sum = jnp.sum(s_live, axis=1, keepdims=True)
+            logT = logT + s_sum
+            done = done | done_incl[:, G - 1:G]
             return c + 1, logT, done, acc
 
         init = (
             jnp.int32(0),
             jnp.zeros((P, 1), jnp.float32),
-            jnp.zeros((P, 1), jnp.float32),
+            jnp.zeros((P, 1), jnp.bool_),
             jnp.zeros((P, NROWS), jnp.float32),
         )
         c_final, logT, done, acc = jax.lax.while_loop(cond, body, init)
@@ -350,7 +436,7 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
             c, logT, done, prefix = state
             if "noexit" in _ABLATE:  # measurement only: no early exit
                 return c < nchunks
-            return (c < nchunks) & (jnp.min(done) < 0.5)
+            return (c < nchunks) & ~jnp.all(done)
 
         def body(state):
             c, logT, done, prefix = state
@@ -364,7 +450,7 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
 
             in_dma(slot, c).wait()
             data = data_vmem[slot]
-            alpha, T_prev, done_incl, w, trig, s_live = _chunk_quantities(
+            alpha, T_prev, done_incl, w, s_live = _chunk_quantities(
                 data, px, py, logT, done, start, end, off
             )
 
@@ -448,14 +534,14 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
             out_write(slot, c).start()
 
             logT = logT + jnp.sum(s_live, axis=1, keepdims=True)
-            done = jnp.maximum(done, jnp.max(trig, axis=1, keepdims=True))
+            done = done | done_incl[:, G - 1:G]
             prefix = prefix + jnp.sum(qw, axis=1, keepdims=True)
             return c + 1, logT, done, prefix
 
         init = (
             jnp.int32(0),
             jnp.zeros((P, 1), jnp.float32),
-            jnp.zeros((P, 1), jnp.float32),
+            jnp.zeros((P, 1), jnp.bool_),
             jnp.zeros((P, 1), jnp.float32),
         )
         c_final, _logT, _done, _prefix = jax.lax.while_loop(cond, body, init)
@@ -481,7 +567,8 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
     jax.lax.fori_loop(0, TPP, one_tile, None)
 
 
-def _blend_fwd_impl(packed, pixf, starts, ends, *, num_tiles, interpret):
+def _blend_fwd_impl(packed, pixf, starts, ends, *, num_tiles, interpret,
+                    fast=False):
     # Pad the tile axis to a TPP multiple (empty ranges for pad tiles).
     num_progs = -(-num_tiles // TPP)
     nt_pad = num_progs * TPP
@@ -490,7 +577,7 @@ def _blend_fwd_impl(packed, pixf, starts, ends, *, num_tiles, interpret):
         starts = jnp.pad(starts, (0, nt_pad - num_tiles))
         ends = jnp.pad(ends, (0, nt_pad - num_tiles))
     acc, tfin = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, fast=fast),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(num_progs,),
@@ -562,29 +649,35 @@ def _blend_bwd_impl(packed, pixf, starts, ends, grads, *, num_tiles, interpret):
     return dpacked
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def blend(packed, pixf, starts, ends, num_tiles, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def blend(packed, pixf, starts, ends, num_tiles, interpret=False,
+          fast=False):
     """Per-tile sorted blend.
 
     Args:
       packed: [16, K + G] packed sorted duplicate data (G cols tail pad).
       pixf: [T, P, 2] jittered pixel coords per tile.
       starts/ends: [T] int32 sorted-range bounds.
+      fast: bf16 elementwise chain in the FORWARD kernel (backward stays
+        f32 — gradients keep reference-class accuracy while the loss is
+        evaluated on the fast render).
     Returns:
       acc [T, P, 16] weighted sums (row layout: depth at 6, rgb at 7..9),
       final_T [T, P].
     """
     return _blend_fwd_impl(packed, pixf, starts, ends,
-                           num_tiles=num_tiles, interpret=interpret)
+                           num_tiles=num_tiles, interpret=interpret,
+                           fast=fast)
 
 
-def _blend_vjp_fwd(packed, pixf, starts, ends, num_tiles, interpret):
+def _blend_vjp_fwd(packed, pixf, starts, ends, num_tiles, interpret, fast):
     out = _blend_fwd_impl(packed, pixf, starts, ends,
-                          num_tiles=num_tiles, interpret=interpret)
+                          num_tiles=num_tiles, interpret=interpret,
+                          fast=fast)
     return out, (packed, pixf, starts, ends, out[0], out[1])
 
 
-def _blend_vjp_bwd(num_tiles, interpret, residuals, cotangents):
+def _blend_vjp_bwd(num_tiles, interpret, fast, residuals, cotangents):
     packed, pixf, starts, ends, acc, tfin = residuals
     g_acc, g_tfin = cotangents
     gc = g_acc[:, :, R_R:R_B2 + 1]  # [T,P,3]

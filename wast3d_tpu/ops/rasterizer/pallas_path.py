@@ -103,7 +103,8 @@ _sorted_gather.defvjp(_sg_fwd, _sg_bwd)
     jax.jit,
     static_argnames=("width", "height", "dup_capacity",
                      "max_tiles_per_gaussian", "interpret",
-                     "phase_a_tiles", "big_budget_divisor", "grad_reduce"),
+                     "phase_a_tiles", "big_budget_divisor", "grad_reduce",
+                     "fast_chain"),
 )
 def render_pallas(
     prep: Preprocessed,
@@ -117,6 +118,7 @@ def render_pallas(
     phase_a_tiles: int = 6,
     big_budget_divisor: int = 16,
     grad_reduce: str = "scatter",
+    fast_chain: bool = False,
 ) -> RenderOutput:
     grid_x, grid_y = tile_grid(width, height)
     num_tiles = grid_x * grid_y
@@ -156,11 +158,25 @@ def render_pallas(
         [packed_g[binning.depth_order], jnp.zeros((1, 10), jnp.float32)]
     )  # [N+1,10], row n = sentinel zeros
     sorted_rows = _sorted_gather(source, safe_rank, grad_reduce)  # [K,10]
-    packed = jnp.pad(
-        sorted_rows.T, ((0, pb.NROWS - sorted_rows.shape[1]), (0, pb.G))
-    )  # [16, K+G]
+    # Recentre means on the OWNING tile's pixel origin (each duplicate
+    # belongs to exactly one tile) and hand the kernel tile-LOCAL pixel
+    # coords: dx = mx - px is invariant, but the kernel now only ever
+    # sees coordinates of magnitude <= tile size + splat extent instead
+    # of full image coordinates — which is what makes a reduced-precision
+    # (bf16) in-kernel chain viable (bf16 on a ~1000px coordinate is a
+    # +-2px position error; on a recentred one it is subpixel).
+    pt = sorted_rows.T  # [10,K]
+    ox = (binning.tile_of_dup % grid_x).astype(jnp.float32) * TILE
+    oy = (binning.tile_of_dup // grid_x).astype(jnp.float32) * TILE
+    pt = jnp.concatenate(
+        [pt[0:1] - ox[None], pt[1:2] - oy[None], pt[2:]], axis=0
+    )
+    packed = jnp.pad(pt, ((0, pb.NROWS - pt.shape[0]), (0, pb.G)))  # [16,K+G]
 
     px, py = _tile_pixel_coords(grid_x, grid_y)  # [T,P]
+    t_org = jnp.arange(num_tiles, dtype=jnp.int32)
+    px = px - ((t_org % grid_x) * TILE).astype(jnp.float32)[:, None]
+    py = py - ((t_org // grid_x) * TILE).astype(jnp.float32)[:, None]
     if sampling_offsets is not None:
         pad_h, pad_w = grid_y * TILE, grid_x * TILE
         off = jnp.zeros((pad_h, pad_w, 2), jnp.float32)
@@ -172,7 +188,8 @@ def render_pallas(
     pixf = jnp.stack([px, py], axis=-1)  # [T,P,2]
 
     acc, tfin = pb.blend(
-        packed, pixf, binning.tile_start, binning.tile_end, num_tiles, interpret
+        packed, pixf, binning.tile_start, binning.tile_end, num_tiles,
+        interpret, fast_chain,
     )
     color_t = acc[:, :, pb.R_R:pb.R_B2 + 1]  # [T,P,3]
     depth_t = acc[:, :, pb.R_DEPTH]  # [T,P]

@@ -152,11 +152,22 @@ def _shard_render(
     ).astype(jnp.int32)
     starts, ends = tb[:-1], tb[1:]
 
-    # 4. Blend my tile strip.
-    packed = jnp.pad(
-        rows_sorted.T, ((0, pb.NROWS - rows_sorted.shape[1]), (0, pb.G))
+    # 4. Blend my tile strip. Means are recentred on the owning tile's
+    # pixel origin with tile-LOCAL pixel coords, matching the single-chip
+    # pallas path (see pallas_path.py — keeps in-kernel coordinate
+    # magnitudes small).
+    pt = rows_sorted.T  # [10, Kr]
+    g_tile = s_tile + me * t_loc
+    rox = (g_tile % grid_x).astype(jnp.float32) * TILE
+    roy = (g_tile // grid_x).astype(jnp.float32) * TILE
+    pt = jnp.concatenate(
+        [pt[0:1] - rox[None], pt[1:2] - roy[None], pt[2:]], axis=0
     )
+    packed = jnp.pad(pt, ((0, pb.NROWS - pt.shape[0]), (0, pb.G)))
     px, py = _tile_pixel_coords(grid_x, grid_y_pad)  # [T_global, P]
+    t_org = jnp.arange(px.shape[0], dtype=jnp.int32)
+    px = px - ((t_org % grid_x) * TILE).astype(jnp.float32)[:, None]
+    py = py - ((t_org // grid_x) * TILE).astype(jnp.float32)[:, None]
     px = jax.lax.dynamic_slice_in_dim(px, me * t_loc, t_loc, 0)
     py = jax.lax.dynamic_slice_in_dim(py, me * t_loc, t_loc, 0)
     pixf = jnp.stack([px, py], axis=-1)
