@@ -80,10 +80,10 @@ class TestForwardParity:
 
     @pytest.mark.parametrize("seed", [0, 1])
     def test_fast_chain_close_to_f32(self, seed):
-        """fast_chain=True (bf16 forward elementwise chain) is an
+        """fast_chain=True (bf16 elementwise chain, fwd + bwd) is an
         approximate mode by contract: assert it stays within the bf16
         error class (~0.3% alpha -> ~1e-2 color) of the f32 chain, and
-        that gradients (computed by the f32 backward) stay close."""
+        that gradients (bf16 recompute, f32 reductions) stay close."""
         cam = _cam(w=80, h=48)
         s = _random_scene(n=120, seed=seed)
         fast = PALLAS._replace(fast_chain=True)
@@ -109,10 +109,11 @@ class TestForwardParity:
         g_ref = jax.grad(loss)(s.xyz, PALLAS)
         g_fast = jax.grad(loss)(s.xyz, fast)
         scale = float(jnp.max(jnp.abs(g_ref))) + 1e-12
-        np.testing.assert_allclose(
-            np.asarray(g_fast) / scale, np.asarray(g_ref) / scale,
-            atol=8e-2,
-        )
+        d = np.abs(np.asarray(g_fast) - np.asarray(g_ref)) / scale
+        # bf16 error class: per-component noise up to ~10% of the max
+        # gradient on isolated splats, but no systematic bias.
+        assert d.max() < 0.15, d.max()
+        assert d.mean() < 5e-3, d.mean()
 
     def test_with_jitter(self):
         cam = _cam(w=32, h=32)

@@ -59,9 +59,10 @@ class RasterizeSettings(NamedTuple):
     route_capacity: int = 0  # tile-sharded render: per-destination-shard
     # duplicate slots for the all_to_all (0 = auto from dup_capacity)
     fast_chain: bool = False  # pallas path: bf16 elementwise chain in the
-    # FORWARD blend kernel (backward stays f32). ~0.3%-class alpha error
-    # vs the f32 chain — NOT bit-comparable; opt in for serving / after
-    # quality-gating for training.
+    # blend kernels (fwd + bwd recompute/q/prefix; divides, moment
+    # reductions and accumulators stay f32). ~0.3%-class alpha/gradient
+    # error vs the f32 chain — NOT bit-comparable; opt in for serving /
+    # after quality-gating for training.
     grad_reduce: str = "segsum_sortpacked"  # pallas path per-Gaussian
     # gradient reduction (r3 in-situ step times at 200k/800^2):
     #   "segsum_sortpacked" (default, 53.3 ms/step): rank-major order via

@@ -380,7 +380,7 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
 
 def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
                 dzero_hbm, dout_hbm, data_vmem, din_vmem, dout_vmem,
-                sem, isem, osem):
+                sem, isem, osem, *, fast=False):
     """Backward walk with read-modify-write accumulation (see module doc),
     TPP tiles per program and double-buffered input DMA. Early-exits once
     every pixel saturates, exactly like the forward — later entries have
@@ -406,6 +406,11 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
         gcb = grads_ref[ti, :, 2:3]
         gd = grads_ref[ti, :, 3:4]
         s_total = grads_ref[ti, :, 5:6]
+        if fast:  # (P,1) casts, hoisted out of the chunk loop
+            gcr_b = gcr.astype(jnp.bfloat16)
+            gcg_b = gcg.astype(jnp.bfloat16)
+            gcb_b = gcb.astype(jnp.bfloat16)
+            gd_b = gd.astype(jnp.bfloat16)
         astart = (start // G) * G
         nchunks = pl.cdiv(jnp.maximum(end - astart, 0), G)
 
@@ -450,26 +455,45 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
 
             in_dma(slot, c).wait()
             data = data_vmem[slot]
-            alpha, T_prev, done_incl, w, s_live = _chunk_quantities(
+            chunk_fn = _chunk_quantities_fast if fast else _chunk_quantities
+            alpha, T_prev, done_incl, w, s_live = chunk_fn(
                 data, px, py, logT, done, start, end, off
             )
 
             # q[p,g] = gc . rgb_g + gd * depth_g
-            q = (
-                data[R_R:R_R + 1, :] * gcr
-                + data[R_G:R_G + 1, :] * gcg
-                + data[R_B2:R_B2 + 1, :] * gcb
-                + data[R_DEPTH:R_DEPTH + 1, :] * gd
-            )  # (P,G)
-            qw = q * w
-            # NOTE r3: a hi-only bf16 prefix pass was tried here (drop
-            # the lo pass of _split_dot) — it blew the scale-normalized
-            # gradient-parity tolerance 8x (1.7% error vs the tiled f32
-            # reference). The suffix-sum term amplifies per-chunk prefix
-            # noise; keep the split-bf16 two-pass scan.
-            prefix_incl = prefix + _split_dot(qw, _tri_incl_upper())
+            if fast:
+                q = (
+                    data[R_R:R_R + 1, :].astype(jnp.bfloat16) * gcr_b
+                    + data[R_G:R_G + 1, :].astype(jnp.bfloat16) * gcg_b
+                    + data[R_B2:R_B2 + 1, :].astype(jnp.bfloat16) * gcb_b
+                    + data[R_DEPTH:R_DEPTH + 1, :].astype(jnp.bfloat16)
+                    * gd_b
+                )  # (P,G) bf16
+                qw = q * w
+                prefix_incl = prefix + jax.lax.dot(
+                    qw, _tri_incl_upper(), preferred_element_type=jnp.float32
+                )
+                alpha32 = alpha.astype(jnp.float32)
+                qT = (q * T_prev).astype(jnp.float32)
+            else:
+                q = (
+                    data[R_R:R_R + 1, :] * gcr
+                    + data[R_G:R_G + 1, :] * gcg
+                    + data[R_B2:R_B2 + 1, :] * gcb
+                    + data[R_DEPTH:R_DEPTH + 1, :] * gd
+                )  # (P,G)
+                qw = q * w
+                # NOTE r3: a hi-only bf16 prefix pass was tried here (drop
+                # the lo pass of _split_dot) — it blew the scale-normalized
+                # gradient-parity tolerance 8x (1.7% error vs the tiled f32
+                # reference). The suffix-sum term amplifies per-chunk prefix
+                # noise; keep the split-bf16 two-pass scan. (The fast
+                # branch above accepts the bf16 error class by contract.)
+                prefix_incl = prefix + _split_dot(qw, _tri_incl_upper())
+                alpha32 = alpha
+                qT = q * T_prev
             live = w > 0.0
-            one_m = 1.0 - alpha
+            one_m = 1.0 - alpha32
 
             opa = data[R_OPA:R_OPA + 1, :]
             # alpha = min(0.99, opa*exp(power)); clamp kills the grad.
@@ -478,7 +502,7 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
             unclamped = (alpha < ALPHA_MAX) & live
             dpow = jnp.where(
                 unclamped,
-                (q * T_prev - (s_total - prefix_incl) / one_m) * alpha,
+                (qT - (s_total - prefix_incl) / one_m) * alpha32,
                 0.0,
             )
             # dalpha*exp_pow = dalpha*alpha/opa = dpow/opa with opa
@@ -533,9 +557,15 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
             dout_vmem[slot] = din_vmem[slot] + dgrad
             out_write(slot, c).start()
 
-            logT = logT + jnp.sum(s_live, axis=1, keepdims=True)
+            if fast:
+                logT = logT + jnp.sum(s_live.astype(jnp.float32), axis=1,
+                                      keepdims=True)
+                prefix = prefix + jnp.sum(qw.astype(jnp.float32), axis=1,
+                                          keepdims=True)
+            else:
+                logT = logT + jnp.sum(s_live, axis=1, keepdims=True)
+                prefix = prefix + jnp.sum(qw, axis=1, keepdims=True)
             done = done | done_incl[:, G - 1:G]
-            prefix = prefix + jnp.sum(qw, axis=1, keepdims=True)
             return c + 1, logT, done, prefix
 
         init = (
@@ -606,7 +636,8 @@ def _blend_fwd_impl(packed, pixf, starts, ends, *, num_tiles, interpret,
     return acc[:num_tiles], tfin[:num_tiles, :, 0]
 
 
-def _blend_bwd_impl(packed, pixf, starts, ends, grads, *, num_tiles, interpret):
+def _blend_bwd_impl(packed, pixf, starts, ends, grads, *, num_tiles,
+                    interpret, fast=False):
     K = packed.shape[1]
     dzeros = jnp.zeros((NROWS, K), jnp.float32)
     num_progs = -(-num_tiles // TPP)
@@ -617,7 +648,7 @@ def _blend_bwd_impl(packed, pixf, starts, ends, grads, *, num_tiles, interpret):
         starts = jnp.pad(starts, (0, nt_pad - num_tiles))
         ends = jnp.pad(ends, (0, nt_pad - num_tiles))
     dpacked = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, fast=fast),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(num_progs,),
@@ -658,9 +689,10 @@ def blend(packed, pixf, starts, ends, num_tiles, interpret=False,
       packed: [16, K + G] packed sorted duplicate data (G cols tail pad).
       pixf: [T, P, 2] jittered pixel coords per tile.
       starts/ends: [T] int32 sorted-range bounds.
-      fast: bf16 elementwise chain in the FORWARD kernel (backward stays
-        f32 — gradients keep reference-class accuracy while the loss is
-        evaluated on the fast render).
+      fast: bf16 elementwise chain in both kernels (the backward keeps
+        its divide / moment reductions and all accumulators in f32;
+        per-entry recompute, q/qw, and the prefix scan run bf16).
+        ~0.3%-class alpha/gradient error vs the f32 chain.
     Returns:
       acc [T, P, 16] weighted sums (row layout: depth at 6, rgb at 7..9),
       final_T [T, P].
@@ -695,7 +727,8 @@ def _blend_vjp_bwd(num_tiles, interpret, fast, residuals, cotangents):
     # NOTE: cotangents on acc rows other than depth/rgb are ignored — those
     # are byproducts callers must not differentiate through.
     dpacked = _blend_bwd_impl(packed, pixf, starts, ends, grads,
-                              num_tiles=num_tiles, interpret=interpret)
+                              num_tiles=num_tiles, interpret=interpret,
+                              fast=fast)
     return dpacked, None, None, None
 
 

@@ -172,7 +172,7 @@ def _shard_render(
     py = jax.lax.dynamic_slice_in_dim(py, me * t_loc, t_loc, 0)
     pixf = jnp.stack([px, py], axis=-1)
     acc, tfin = pb.blend(packed, pixf, starts, ends, t_loc,
-                         settings.pallas_interpret)
+                         settings.pallas_interpret, settings.fast_chain)
     color_t = acc[:, :, pb.R_R:pb.R_B2 + 1]
     color_t = color_t + tfin[..., None] * bg_color[None, None, :]
     depth_t = acc[:, :, pb.R_DEPTH]
