@@ -226,9 +226,15 @@ def bin_gaussians(
         return tile_id.reshape(-1), rank2d.reshape(-1)
 
     emitted.append(emission(xmin, ymin, rect_w, te, rank_of, 0, ra))
-    for start, extra, budget in phases[1:]:
-        wants = tiles_touched > start
-        prank = jnp.cumsum(wants) - 1
+    # One fused cumsum for every band's budget-scarcity rank (b, N)
+    # instead of one N-cumsum per band.
+    if len(phases) > 1:
+        band_starts = jnp.asarray([p[0] for p in phases[1:]], jnp.int32)
+        wants_all = tiles_touched[None, :] > band_starts[:, None]
+        pranks_all = jnp.cumsum(wants_all.astype(jnp.int32), axis=1) - 1
+    for bi, (start, extra, budget) in enumerate(phases[1:]):
+        wants = wants_all[bi]
+        prank = pranks_all[bi]
         selected = wants & (prank < budget)
         # Slot -> row table (budget scarcity resolves by original index,
         # not depth). Unfilled slots MUST be invalid (a default of
