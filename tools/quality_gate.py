@@ -188,6 +188,9 @@ def main():
     ap.add_argument("--init-gt", action="store_true",
                     help="seed points3d.ply from jittered GT points "
                          "(the COLMAP/SfM-init analogue)")
+    ap.add_argument("--fast-chain", action="store_true",
+                    help="train with the bf16 fast_chain blend kernels "
+                         "(quality-gates the approximate mode)")
     ap.add_argument("--out", default="runs/qgate")
     ap.add_argument("--data", default=None, help="reuse an existing dataset")
     args = ap.parse_args()
@@ -223,6 +226,7 @@ def main():
         renderer="pallas",
         dup_capacity=max(1 << 20, 1 << (5 * n0 - 1).bit_length()),
         phase_a_tiles=16,
+        fast_chain=args.fast_chain,
     )
     t_train0 = time.time()
     trainer = train_scene(
@@ -247,6 +251,7 @@ def main():
         res[f"psnr_{split}"] = round(float(np.mean(vals)), 3)
     res.update(iters=args.iters, res=args.res, blobs=args.blobs,
                pts=args.pts, detail=args.detail, init_gt=args.init_gt,
+               fast_chain=args.fast_chain,
                n_gaussians=int(trainer.state.scene.num_active),
                wall_s=round(time.time() - t0, 1),
                train_wall_s=round(train_wall, 1),
