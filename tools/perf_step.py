@@ -37,6 +37,8 @@ def main():
                     help="dup_capacity multiplier (default 6)")
     ap.add_argument("--pieces", action="store_true",
                     help="time step variants isolating Adam/stats/m2d-tap")
+    ap.add_argument("--fast", action="store_true",
+                    help="fast_chain=True (bf16 blend kernels)")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +59,7 @@ def main():
         return api.RasterizeSettings(
             renderer="pallas", dup_capacity=args.cap_mult * args.n,
             max_per_tile=1024, chunk=32, grad_reduce=mode,
+            fast_chain=args.fast,
         )
 
     settings0 = mk_settings("segsum")
