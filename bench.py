@@ -109,20 +109,27 @@ def main():
 
     # Aux: bf16 fast-chain forward (serving mode; ~0.3%-class alpha error,
     # see RasterizeSettings.fast_chain) — measured alongside the exact
-    # default, reported in aux only.
-    fast_settings = settings._replace(fast_chain=True)
+    # default, reported in aux only. Guarded: an aux-mode failure must
+    # never take down the headline metric.
+    mpix_fast = None
+    try:
+        fast_settings = settings._replace(fast_chain=True)
 
-    @jax.jit
-    def fwd_fast(scene, camera, bg):
-        return api.render(camera, scene, bg, settings=fast_settings)["render"]
+        @jax.jit
+        def fwd_fast(scene, camera, bg):
+            return api.render(
+                camera, scene, bg, settings=fast_settings)["render"]
 
-    out_f = fwd_fast(scene, cam, bg)
-    jax.block_until_ready(out_f)
-    t0 = time.perf_counter()
-    for _ in range(iters):
         out_f = fwd_fast(scene, cam, bg)
-    jax.block_until_ready(out_f)
-    mpix_fast = (w * h / 1e6) / ((time.perf_counter() - t0) / iters)
+        jax.block_until_ready(out_f)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out_f = fwd_fast(scene, cam, bg)
+        jax.block_until_ready(out_f)
+        mpix_fast = round(
+            (w * h / 1e6) / ((time.perf_counter() - t0) / iters), 2)
+    except Exception as e:  # pragma: no cover
+        print(f"fast_chain aux bench failed: {e!r}", file=sys.stderr)
 
     # Secondary: full differentiable step time (render+loss+grad+Adam).
     from wast3d_tpu.config import OptimizationConfig
@@ -170,7 +177,7 @@ def main():
                 "unit": "MPix/s",
                 "vs_baseline": round(mpix_s / baseline_mpix, 3),
                 "aux": {
-                    "mpix_fast_chain": round(mpix_fast, 2),
+                    "mpix_fast_chain": mpix_fast,
                     "train_step_per_s": round(step_s, 3),
                     "stylize_ball_steps_per_s": round(styl_steps_s, 2),
                     "device": str(jax.devices()[0]),
