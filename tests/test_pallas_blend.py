@@ -160,6 +160,63 @@ class TestForwardParity:
         )
 
 
+class TestTPULowering:
+    """AOT-lower the Pallas kernels for platform='tpu' from the CPU test
+    environment (jax.export traces the full pallas->Mosaic-MLIR pipeline
+    without a device). Interpret-mode tests cannot catch Mosaic layout /
+    dtype lowering failures — this does, before code ever reaches the
+    real chip."""
+
+    def _args(self):
+        from wast3d_tpu.ops.rasterizer import pallas_blend as pb
+
+        K = 512
+        return (
+            jnp.zeros((16, K + pb.G), jnp.float32),
+            jnp.zeros((8, 256, 2), jnp.float32),
+            jnp.zeros((8,), jnp.int32),
+            jnp.full((8,), 64, jnp.int32),
+        )
+
+    @pytest.mark.parametrize("fast", [False, True])
+    def test_blend_fwd_bwd_lower_for_tpu(self, fast):
+        from jax import export
+
+        from wast3d_tpu.ops.rasterizer import pallas_blend as pb
+
+        packed, pixf, starts, ends = self._args()
+
+        def fwd(packed):
+            acc, tfin = pb.blend(packed, pixf, starts, ends, 8, False, fast)
+            return acc, tfin
+
+        export.export(jax.jit(fwd), platforms=["tpu"])(packed)
+
+        def loss(packed):
+            acc, tfin = pb.blend(packed, pixf, starts, ends, 8, False, fast)
+            return jnp.sum(acc) + jnp.sum(tfin)
+
+        export.export(jax.jit(jax.grad(loss)), platforms=["tpu"])(packed)
+
+    @pytest.mark.parametrize("variant", [
+        "segment_reduce_by_rank",
+        "segment_reduce_by_rank_sortpayload",
+        "segment_reduce_by_rank_sortpacked",
+    ])
+    def test_grad_reduce_lowers_for_tpu(self, variant):
+        from jax import export
+
+        from wast3d_tpu.ops.rasterizer import grad_reduce as gr
+
+        fn = getattr(gr, variant)
+        K, n1 = 2048, 257
+        d = jnp.zeros((K, 10), jnp.float32)
+        rank = jnp.zeros((K,), jnp.int32)
+        export.export(
+            jax.jit(lambda d, r: fn(d, r, n1)), platforms=["tpu"]
+        )(d, rank)
+
+
 class TestGradientParity:
     def _loss(self, cam, scene, settings, field="xyz"):
         target = jnp.zeros((cam.height, cam.width, 3))
