@@ -1,0 +1,44 @@
+#!/bin/bash
+# Round-3 TPU measurement session: run everything that needs the chip,
+# sequentially (the axon tunnel serializes; two TPU clients poison each
+# other's timings). Each step is timeout-bounded and failure-tolerant.
+# Usage:  nohup bash tools/r3_measure.sh > /tmp/r3_measure.log 2>&1 &
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+
+step() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== [$name] start $(date -u +%H:%M:%S) ==="
+  timeout "$tmo" "$@"
+  echo "=== [$name] exit=$? $(date -u +%H:%M:%S) ==="
+}
+
+# 0. Tunnel sanity probe (fail fast if the relay is still down).
+step probe 120 python -c "import jax; print(jax.devices())" || exit 1
+
+# 1. Headline bench, full ladder -> committed by driver as BENCH_r03.
+step bench 3000 python bench.py | tee /tmp/bench_r3_full.json
+
+# 2. Step anatomy: default vs ablated reduction, fwd-only, fast chain.
+step perf_exact 1200 python tools/perf_step.py \
+  --modes segsum_sortpacked,none --iters 30 --fwd --cap-mult 5
+step perf_fast 1200 python tools/perf_step.py \
+  --modes segsum_sortpacked --iters 30 --fwd --cap-mult 5 --fast
+
+# 3. fast_chain quality gate (vs r2's 40.46 dB @ 7k/400^2 exact run).
+step qgate_fast 3000 python tools/quality_gate.py --iters 7000 \
+  --fast-chain --out runs/qgate_r3_fast
+
+# 4. At-scale exact gate: 30k iters, 800^2, 300k-point detail scene
+#    (dataset already rendered under runs/qgate_r3_800_300k/data).
+step qgate_800 9000 python tools/quality_gate.py --iters 30000 --res 800 \
+  --blobs 1200 --pts 250 --views 60 --detail --init-gt \
+  --data runs/qgate_r3_800_300k/data --out runs/qgate_r3_800_300k
+
+# 5. 1M-Gaussian recon gate, truncated to 7k iters (config-3 class).
+step qgate_1m 12000 python tools/quality_gate.py --iters 7000 --res 1024 \
+  --blobs 4000 --pts 250 --views 60 --detail --init-gt \
+  --out runs/qgate_r3_1m
+
+echo "=== ALL DONE $(date -u +%H:%M:%S) ==="
