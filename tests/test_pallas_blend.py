@@ -198,6 +198,22 @@ class TestTPULowering:
 
         export.export(jax.jit(jax.grad(loss)), platforms=["tpu"])(packed)
 
+    def test_desc_kernel_lowers_for_tpu(self):
+        from jax import export
+
+        from wast3d_tpu.stylize import desc_kernel as dk
+
+        mp = 1024
+        x = jnp.zeros((mp, 3), jnp.float32)
+        tp = jnp.zeros((mp, 3), jnp.float32)
+        code = jnp.zeros((mp, mp), jnp.uint8)
+
+        def loss(x):
+            return dk.pair_loss(x, tp, code, 1.0, 200.0)
+
+        export.export(jax.jit(loss), platforms=["tpu"])(x)
+        export.export(jax.jit(jax.grad(loss)), platforms=["tpu"])(x)
+
     @pytest.mark.parametrize("variant", [
         "segment_reduce_by_rank",
         "segment_reduce_by_rank_sortpayload",
