@@ -178,13 +178,18 @@ class TestTPULowering:
             jnp.full((8,), 64, jnp.int32),
         )
 
-    @pytest.mark.parametrize("fast", [False, True])
-    def test_blend_fwd_bwd_lower_for_tpu(self, fast):
+    @pytest.mark.parametrize("fast,dtype", [
+        (False, jnp.float32),
+        (True, jnp.float32),
+        (True, jnp.bfloat16),  # bf16-packed fast path
+    ])
+    def test_blend_fwd_bwd_lower_for_tpu(self, fast, dtype):
         from jax import export
 
         from wast3d_tpu.ops.rasterizer import pallas_blend as pb
 
         packed, pixf, starts, ends = self._args()
+        packed = packed.astype(dtype)
 
         def fwd(packed):
             acc, tfin = pb.blend(packed, pixf, starts, ends, 8, False, fast)

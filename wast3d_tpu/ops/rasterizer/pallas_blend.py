@@ -229,14 +229,15 @@ def _chunk_quantities_fast(data, px, py, logT, done, start, end, off):
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1) + off
     col_valid = (cols >= start) & (cols < end)  # (1,G)
 
+    # `data` may already BE bf16 (the fast path packs bf16 end-to-end:
+    # half the gather/DMA bytes); astype is then a no-op. All casts here
+    # are (1,G) — 1/P of a full pass.
     mx = data[R_MX:R_MX + 1, :].astype(bf)  # (1,G)
     my = data[R_MY:R_MY + 1, :].astype(bf)
-    # Folded coefficients computed in f32 (per-column, 1/P cost), then
-    # cast once.
-    Ah = (-0.5 * data[R_A:R_A + 1, :]).astype(bf)
-    Ch = (-0.5 * data[R_CC:R_CC + 1, :]).astype(bf)
-    Bn = (-data[R_B:R_B + 1, :]).astype(bf)
-    opa = jnp.where(col_valid, data[R_OPA:R_OPA + 1, :], 0.0).astype(bf)
+    Ah = (bf(-0.5) * data[R_A:R_A + 1, :].astype(bf))
+    Ch = (bf(-0.5) * data[R_CC:R_CC + 1, :].astype(bf))
+    Bn = -data[R_B:R_B + 1, :].astype(bf)
+    opa = jnp.where(col_valid, data[R_OPA:R_OPA + 1, :].astype(bf), bf(0))
 
     dx = mx - px.astype(bf)  # (P,G) bf16
     dy = my - py.astype(bf)
@@ -323,9 +324,13 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
             if "noacc" in _ABLATE:  # measurement only: ablate acc matmuls
                 acc = acc + w[:, :NROWS].astype(jnp.float32)
             else:
-                d_hi, d_lo = _split2(data)
                 dims = (((1,), (1,)), ((), ()))
-                if fast:
+                if fast and data.dtype == jnp.bfloat16:
+                    # bf16-packed fast path: data needs no split at all.
+                    acc = acc + jax.lax.dot_general(
+                        w, data, dims, preferred_element_type=jnp.float32)
+                elif fast:
+                    d_hi, d_lo = _split2(data)
                     acc = (
                         acc
                         + jax.lax.dot_general(
@@ -336,6 +341,7 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
                             preferred_element_type=jnp.float32)
                     )  # (P,16)
                 else:
+                    d_hi, d_lo = _split2(data)
                     w_hi, w_lo = _split2(w)
                     acc = (
                         acc
@@ -623,7 +629,7 @@ def _blend_fwd_impl(packed, pixf, starts, ends, *, num_tiles, interpret,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, NROWS, G), jnp.float32),
+                pltpu.VMEM((2, NROWS, G), packed.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -664,7 +670,7 @@ def _blend_bwd_impl(packed, pixf, starts, ends, grads, *, num_tiles,
                 pl.BlockSpec(memory_space=pl.ANY),  # dpacked (manual DMA)
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, NROWS, G), jnp.float32),  # data_vmem
+                pltpu.VMEM((2, NROWS, G), packed.dtype),  # data_vmem
                 pltpu.VMEM((2, NROWS, G), jnp.float32),  # din_vmem
                 pltpu.VMEM((2, NROWS, G), jnp.float32),  # dout_vmem
                 pltpu.SemaphoreType.DMA((2,)),  # sem
@@ -729,7 +735,10 @@ def _blend_vjp_bwd(num_tiles, interpret, fast, residuals, cotangents):
     dpacked = _blend_bwd_impl(packed, pixf, starts, ends, grads,
                               num_tiles=num_tiles, interpret=interpret,
                               fast=fast)
-    return dpacked, None, None, None
+    # custom_vjp cotangents must match the primal dtype; with bf16-packed
+    # fast data this quantizes per-duplicate gradients to bf16 — the
+    # accuracy class the default sortpacked reduction applies anyway.
+    return dpacked.astype(packed.dtype), None, None, None
 
 
 blend.defvjp(_blend_vjp_fwd, _blend_vjp_bwd)

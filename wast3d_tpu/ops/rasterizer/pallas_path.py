@@ -171,6 +171,12 @@ def render_pallas(
     pt = jnp.concatenate(
         [pt[0:1] - ox[None], pt[1:2] - oy[None], pt[2:]], axis=0
     )
+    if fast_chain:
+        # bf16-packed kernel data: recentring (above) happens in f32
+        # first, so the quantization error is on tile-LOCAL coordinates
+        # (subpixel), not on image coordinates. Halves the pack
+        # transpose + kernel DMA bytes and deletes the in-kernel casts.
+        pt = pt.astype(jnp.bfloat16)
     packed = jnp.pad(pt, ((0, pb.NROWS - pt.shape[0]), (0, pb.G)))  # [16,K+G]
 
     px, py = _tile_pixel_coords(grid_x, grid_y)  # [T,P]
