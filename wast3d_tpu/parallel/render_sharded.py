@@ -163,6 +163,8 @@ def _shard_render(
     pt = jnp.concatenate(
         [pt[0:1] - rox[None], pt[1:2] - roy[None], pt[2:]], axis=0
     )
+    if settings.fast_chain:
+        pt = pt.astype(jnp.bfloat16)  # see pallas_path.py bf16 packing
     packed = jnp.pad(pt, ((0, pb.NROWS - pt.shape[0]), (0, pb.G)))
     px, py = _tile_pixel_coords(grid_x, grid_y_pad)  # [T_global, P]
     t_org = jnp.arange(px.shape[0], dtype=jnp.int32)
