@@ -99,6 +99,50 @@ class TestPhases:
         assert got == expected
 
 
+class TestTwoKeyFallback:
+    def test_two_key_sort_matches_packed(self):
+        """The 2-key fallback (taken when (num_tiles+1)*N > 2^32 — the
+        4M-Gaussian / config-4 regime) must produce the same sorted
+        lists, ranges, and overflow flags as the packed-uint32 path."""
+        rng = np.random.default_rng(9)
+        n = 96
+        means = rng.uniform(20, 300, (n, 2))
+        radii = rng.integers(2, 50, n)
+        depths = rng.uniform(1, 6, n)
+        a = _bin(means, depths, radii, w=320, h=320, cap=4096)
+        b = _bin(means, depths, radii, w=320, h=320, cap=4096,
+                 _force_two_key=True)
+        np.testing.assert_array_equal(np.asarray(a.tile_start),
+                                      np.asarray(b.tile_start))
+        np.testing.assert_array_equal(np.asarray(a.tile_end),
+                                      np.asarray(b.tile_end))
+        # Within the valid prefix, identical duplicates in identical order.
+        k = int(np.asarray(a.tile_end)[-1])
+        np.testing.assert_array_equal(np.asarray(a.gauss_idx)[:k],
+                                      np.asarray(b.gauss_idx)[:k])
+        np.testing.assert_array_equal(np.asarray(a.rank)[:k],
+                                      np.asarray(b.rank)[:k])
+        np.testing.assert_array_equal(np.asarray(a.tile_of_dup)[:k],
+                                      np.asarray(b.tile_of_dup)[:k])
+        for f in ("overflow", "overflow_emit", "overflow_dup",
+                  "overflow_rect"):
+            assert bool(getattr(a, f)) == bool(getattr(b, f)), f
+
+    def test_two_key_dup_truncation(self):
+        rng = np.random.default_rng(10)
+        n = 64
+        means = rng.uniform(40, 280, (n, 2))
+        radii = rng.integers(8, 40, n)
+        depths = rng.uniform(1, 5, n)
+        full = _bin(means, depths, radii, w=320, h=320,
+                    _force_two_key=True)
+        total = int(np.asarray(full.num_duplicates))
+        cut = _bin(means, depths, radii, w=320, h=320, cap=total // 2,
+                   _force_two_key=True)
+        assert bool(cut.overflow_dup)
+        assert not bool(cut.overflow_emit)
+
+
 class TestOverflowCauses:
     def test_dup_truncation_flags_dup_not_emit(self):
         rng = np.random.default_rng(5)

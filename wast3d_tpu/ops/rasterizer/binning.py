@@ -152,14 +152,18 @@ def bin_gaussians(
     big_budget_divisor: int = 16,
     ext_x: jnp.ndarray = None,
     ext_y: jnp.ndarray = None,
+    _force_two_key: bool = False,
 ) -> Binning:
-    """Build the depth-sorted per-tile Gaussian lists."""
+    """Build the depth-sorted per-tile Gaussian lists.
+
+    _force_two_key: test hook — exercise the 2-key sort fallback (the
+    path problems > ~1M x 4212 tiles take) at small sizes."""
     n = means2d.shape[0]
     grid_x, grid_y = tile_grid(width, height)
     num_tiles = grid_x * grid_y
     # uint32 multiply-packing applies when every (tile, rank) key —
     # including the invalid sentinel tile == num_tiles — fits 32 bits.
-    packable = (num_tiles + 1) * n <= (1 << 32)
+    packable = (num_tiles + 1) * n <= (1 << 32) and not _force_two_key
 
     # 1. Depth pre-sort (invalid to the back). A 1-key sort with an iota
     # payload beats argsort's internal comparator on TPU. Emission then
