@@ -151,6 +151,31 @@ class TestDescriptors:
         assert float(l2) > 0
 
 
+class TestDeviceMaskBuild:
+    def test_pair_dense_and_packbits_match_numpy(self):
+        """Device-side pair-mask construction (the 16k descriptor-build
+        host-bottleneck fix) must match the numpy reference builders."""
+        import numpy as np
+
+        from wast3d_tpu.stylize import fit as F
+
+        rng = np.random.default_rng(5)
+        mp, R, k = 256, 100, 9
+        rows = rng.choice(mp, R, replace=False).astype(np.int32)
+        idx = np.stack([
+            np.concatenate([[r], rng.choice(mp, k - 1, replace=False)])
+            for r in rows
+        ]).astype(np.int32)
+        dense_np = F._pair_dense(idx, rows, mp)
+        dense_dev = np.asarray(
+            F._pair_dense_dev(jnp.asarray(idx), jnp.asarray(rows), mp)
+        )
+        np.testing.assert_array_equal(dense_dev, dense_np)
+        bits_np = F._pack_pair_bits(idx, rows, mp)
+        bits_dev = np.asarray(F._packbits_dev(jnp.asarray(dense_np)))
+        np.testing.assert_array_equal(bits_dev, bits_np)
+
+
 class TestFit:
     def test_fit_descriptor_loss_decreases(self):
         """Tiny synthetic pair: style = small grid patch, content = ball."""
