@@ -115,6 +115,56 @@ class TestForwardParity:
         assert d.max() < 0.15, d.max()
         assert d.mean() < 5e-3, d.mean()
 
+    def test_fast_chain_saturating_scene(self):
+        """Early-exit + clamp paths under fast_chain: stacked opaque
+        splats (alpha clamps at 0.99, every pixel saturates)."""
+        rng = np.random.default_rng(4)
+        n = 100
+        s = _scene_from(
+            xyz=np.concatenate(
+                [rng.normal(size=(n, 2)) * 0.05,
+                 np.linspace(-1, 1, n)[:, None]], axis=1),
+            rgb=rng.uniform(0.2, 1.0, (n, 3)),
+            scale=np.full((n, 3), 0.3),
+            opacity=np.full((n, 1), 0.95),
+        )
+        cam = _cam(w=32, h=32)
+        p = api.render(cam, s, BLACK, settings=PALLAS)
+        f = api.render(cam, s, BLACK,
+                       settings=PALLAS._replace(fast_chain=True))
+        np.testing.assert_allclose(
+            np.asarray(f["render"]), np.asarray(p["render"]), atol=3e-2
+        )
+        assert float(f["final_T"].min()) < 1e-3
+
+    def test_fast_chain_anisotropic_low_opacity(self):
+        """Near-threshold alphas + 20:1 anisotropy under fast_chain:
+        the ALPHA_MIN skip and tight-extent paths must not blow up in
+        bf16 (bounded absolute error, no NaNs)."""
+        rng = np.random.default_rng(11)
+        n = 80
+        s = _scene_from(
+            xyz=rng.normal(size=(n, 3)) * [1.2, 1.2, 0.5],
+            rgb=rng.uniform(0.1, 0.9, size=(n, 3)),
+            scale=np.stack([
+                rng.uniform(0.2, 0.4, n),
+                rng.uniform(0.01, 0.02, n),
+                rng.uniform(0.01, 0.4, n),
+            ], 1),
+            opacity=np.concatenate([
+                rng.uniform(0.003, 0.02, (n // 2, 1)),
+                rng.uniform(0.3, 0.95, (n - n // 2, 1)),
+            ]),
+        )
+        cam = _cam(w=96, h=64)
+        p = api.render(cam, s, BLACK, settings=PALLAS)
+        f = api.render(cam, s, BLACK,
+                       settings=PALLAS._replace(fast_chain=True))
+        assert np.isfinite(np.asarray(f["render"])).all()
+        np.testing.assert_allclose(
+            np.asarray(f["render"]), np.asarray(p["render"]), atol=3e-2
+        )
+
     def test_with_jitter(self):
         cam = _cam(w=32, h=32)
         s = _random_scene(n=50, seed=2)
