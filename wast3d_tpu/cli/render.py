@@ -20,6 +20,10 @@ def main() -> None:
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--resolution", "-r", type=int, default=-1)
     parser.add_argument("--white_background", "-w", action="store_true")
+    parser.add_argument("--fast", action="store_true",
+                        help="bf16 fast_chain serving kernels")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="cameras per dispatch (render_batch)")
     args = parser.parse_args()
 
     source = args.source_path
@@ -32,11 +36,17 @@ def main() -> None:
         parser.error("--source_path required (no cfg_args found)")
 
     from wast3d_tpu.eval.render_sets import render_sets
+    from wast3d_tpu.ops.rasterizer import api
 
     render_sets(
         args.model_path, source, iteration=args.iteration,
         skip_train=args.skip_train, skip_test=args.skip_test,
         white_background=white_bg, resolution=args.resolution,
+        settings=api.RasterizeSettings(
+            renderer="pallas", dup_capacity=1 << 21,
+            fast_chain=args.fast,
+        ),
+        batch=args.batch,
     )
 
 

@@ -104,6 +104,7 @@ def render_sets(
     white_background: bool = False,
     resolution: int = -1,
     settings: raster_api.RasterizeSettings = raster_api.RasterizeSettings(),
+    batch: int = 8,
 ) -> None:
     """Reference `render_sets` (`render.py:37-55`)."""
     from wast3d_tpu.scene.datasets import build_cameras, load_scene_info
@@ -118,7 +119,9 @@ def render_sets(
     bg = jnp.ones(3) if white_background else jnp.zeros(3)
     if not skip_train:
         render_set(model_path, "train", iteration,
-                   build_cameras(info.train_cameras, resolution), scene, bg, settings)
+                   build_cameras(info.train_cameras, resolution), scene, bg,
+                   settings, batch=batch)
     if not skip_test and info.test_cameras:
         render_set(model_path, "test", iteration,
-                   build_cameras(info.test_cameras, resolution), scene, bg, settings)
+                   build_cameras(info.test_cameras, resolution), scene, bg,
+                   settings, batch=batch)
