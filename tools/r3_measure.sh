@@ -18,7 +18,9 @@ step() {
 step probe 120 python -c "import jax; print(jax.devices())" || exit 1
 
 # 1. Headline bench, full ladder -> committed by driver as BENCH_r03.
-step bench 3000 python bench.py | tee /tmp/bench_r3_full.json
+#    Also recorded in-repo (runs/) so the round keeps a perf artifact
+#    even if the driver's own bench hits a tunnel outage.
+step bench 3000 python bench.py | tee runs/bench_r3_interim.json
 
 # 2. Step anatomy: default vs ablated reduction, fwd-only, fast chain.
 step perf_exact 1200 python tools/perf_step.py \
