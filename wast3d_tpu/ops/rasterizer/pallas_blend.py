@@ -65,13 +65,17 @@ _ABLATE = frozenset(
     f for f in os.environ.get("WAST3D_BLEND_ABLATE", "").split(",") if f
 )
 
-G = 128  # chunk size (entries per inner step). Wider chunks were tried
-# TWICE: flat G=256 in r2 (+1.2ms: 4x tri-matmul FLOPs, coarser exit)
-# and G=256 with the two-level _scan_dot in r3 (fwd -0.7ms but step
-# +0.6ms: (P,256) f32 intermediates are 64 vregs each, so the backward's
-# live set spills to VMEM and eats the halved per-chunk overhead).
-# G=128 keeps every (P,G) value at 32 vregs.
+# Chunk size (entries per inner step). Wider chunks were tried TWICE
+# for the f32 kernels: flat G=256 in r2 (+1.2ms: 4x tri-matmul FLOPs,
+# coarser exit) and G=256 with the two-level _scan_dot in r3 (fwd
+# -0.7ms but step +0.6ms: (P,256) f32 intermediates are 64 vregs each,
+# so the backward's live set spills to VMEM and eats the halved
+# per-chunk overhead). G=128 keeps every (P,G) f32 value at 32 vregs.
+# Env-tunable for the bf16 fast tier, where (P,256) is 32 vregs again
+# (WAST3D_BLEND_G=256 — an experiment knob, not a config surface).
+G = int(os.environ.get("WAST3D_BLEND_G", 128))
 SUB = 128  # scan sub-chunk (tri-matmul width; lane-alignment quantum)
+assert G % SUB == 0 and G > 0, G
 NSUB = G // SUB
 P = 256  # pixels per 16x16 tile
 NROWS = 16  # packed data rows
@@ -132,7 +136,8 @@ def _scan_dot(x, u_bf16):
     """Two-level prefix scan of x (P, G) along lanes via SUB-wide
     triangular matmuls (strict or inclusive per the mask): per-sub-chunk
     scans plus a running carry — the G-wide scan at SUB^2 (not G^2)
-    matmul FLOPs."""
+    matmul FLOPs. The carry (sum of all previous sub-chunks) is correct
+    for both the strict and the inclusive mask."""
     parts = []
     carry = None
     for i in range(NSUB):
@@ -143,6 +148,23 @@ def _scan_dot(x, u_bf16):
         parts.append(ei)
         if i + 1 < NSUB:
             ti = jnp.sum(xi, axis=1, keepdims=True)
+            carry = ti if carry is None else carry + ti
+    return parts[0] if NSUB == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _scan_dot_fast(x, u_bf16):
+    """`_scan_dot` for an already-bf16 operand: single MXU pass per
+    sub-chunk (no hi/lo split), f32 sub-chunk totals for the carry."""
+    parts = []
+    carry = None
+    for i in range(NSUB):
+        xi = x[:, i * SUB:(i + 1) * SUB]
+        ei = jax.lax.dot(xi, u_bf16, preferred_element_type=jnp.float32)
+        if carry is not None:
+            ei = ei + carry
+        parts.append(ei)
+        if i + 1 < NSUB:
+            ti = jnp.sum(xi.astype(jnp.float32), axis=1, keepdims=True)
             carry = ti if carry is None else carry + ti
     return parts[0] if NSUB == 1 else jnp.concatenate(parts, axis=1)
 
@@ -249,19 +271,7 @@ def _chunk_quantities_fast(data, px, py, logT, done, start, end, off):
     s = jnp.log1p(-alpha)  # (P,G) bf16
     # Single-pass bf16 scan (the hi/lo split exists to recover f32-ish
     # accuracy — pointless when the operand is already bf16).
-    parts = []
-    carry = None
-    u = _tri_strict_upper()
-    for i in range(NSUB):
-        si = s[:, i * SUB:(i + 1) * SUB]
-        ei = jax.lax.dot(si, u, preferred_element_type=jnp.float32)
-        if carry is not None:
-            ei = ei + carry
-        parts.append(ei)
-        if i + 1 < NSUB:
-            ti = jnp.sum(si.astype(jnp.float32), axis=1, keepdims=True)
-            carry = ti if carry is None else carry + ti
-    excl = parts[0] if NSUB == 1 else jnp.concatenate(parts, axis=1)  # f32
+    excl = _scan_dot_fast(s, _tri_strict_upper())  # (P,G) f32
 
     T_prev = jnp.exp((logT + excl).astype(bf))  # (P,G) bf16
     test_T = T_prev * (bf(1) - alpha)
@@ -476,8 +486,8 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
                     * gd_b
                 )  # (P,G) bf16
                 qw = q * w
-                prefix_incl = prefix + jax.lax.dot(
-                    qw, _tri_incl_upper(), preferred_element_type=jnp.float32
+                prefix_incl = prefix + _scan_dot_fast(
+                    qw, _tri_incl_upper()
                 )
                 alpha32 = alpha.astype(jnp.float32)
                 qT = (q * T_prev).astype(jnp.float32)
@@ -495,7 +505,7 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
                 # reference). The suffix-sum term amplifies per-chunk prefix
                 # noise; keep the split-bf16 two-pass scan. (The fast
                 # branch above accepts the bf16 error class by contract.)
-                prefix_incl = prefix + _split_dot(qw, _tri_incl_upper())
+                prefix_incl = prefix + _scan_dot(qw, _tri_incl_upper())
                 alpha32 = alpha
                 qT = q * T_prev
             live = w > 0.0
