@@ -32,6 +32,11 @@ import numpy as np
 def _enable_cache():
     import jax
 
+    if os.environ.get("WAST3D_FORCE_CPU"):
+        # CPU fallback for tunnel outages / A-B runs without the chip.
+        # Env JAX_PLATFORMS=cpu alone is overridden by the axon plugin;
+        # the config update post-import is what sticks (conftest.py).
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -107,7 +112,8 @@ def make_dataset(root, res=400, n_train=40, n_test=5, n_blobs=60,
     scene = make_gt_scene(n_blobs=n_blobs, pts_per_blob=pts_per_blob,
                           detail=detail)
     settings = api.RasterizeSettings(
-        renderer="pallas", dup_capacity=1 << 20, phase_a_tiles=16
+        renderer="pallas", dup_capacity=1 << 20, phase_a_tiles=16,
+        pallas_interpret=bool(os.environ.get("WAST3D_FORCE_CPU")),
     )
     os.makedirs(root, exist_ok=True)
     if init_gt:
@@ -227,6 +233,7 @@ def main():
         dup_capacity=max(1 << 20, 1 << (5 * n0 - 1).bit_length()),
         phase_a_tiles=16,
         fast_chain=args.fast_chain,
+        pallas_interpret=bool(os.environ.get("WAST3D_FORCE_CPU")),
     )
     t_train0 = time.time()
     trainer = train_scene(
