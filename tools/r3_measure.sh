@@ -38,6 +38,9 @@ step qgate_800 9000 python tools/quality_gate.py --iters 30000 --res 800 \
   --blobs 1200 --pts 250 --views 60 --detail --init-gt \
   --data runs/qgate_r3_800_300k/data --out runs/qgate_r3_800_300k
 
+# 4b. 16k descriptor build (VERDICT item 4: target < 15 s/patch).
+step descbuild 1200 python tools/perf_descbuild.py | tee runs/descbuild_r3.json
+
 # 5. 1M-Gaussian recon gate, truncated to 7k iters (config-3 class).
 step qgate_1m 12000 python tools/quality_gate.py --iters 7000 --res 1024 \
   --blobs 4000 --pts 250 --views 60 --detail --init-gt \
