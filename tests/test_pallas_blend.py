@@ -1,6 +1,8 @@
 """Pallas blend kernel tests (interpreter mode on CPU): forward and
 gradient parity against the XLA tiled path and the oracle."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -286,6 +288,44 @@ class TestTPULowering:
         export.export(
             jax.jit(lambda d, r: fn(d, r, n1)), platforms=["tpu"]
         )(d, rank)
+
+    def test_blend_g256_fast_tier_lowers_for_tpu(self):
+        """G=256 under the bf16 fast chain (NOTES_PERF r3s3 idea: (P,256)
+        bf16 intermediates are 32 vregs again, so the wider chunk may pay
+        where f32 G=256 spilled). G is a module constant read from
+        WAST3D_BLEND_G at import — exercise it in a subprocess so the
+        main test process keeps G=128."""
+        import subprocess
+        import sys as _sys
+
+        code = (
+            "import os\n"
+            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import jax.numpy as jnp\n"
+            "from jax import export\n"
+            "from wast3d_tpu.ops.rasterizer import pallas_blend as pb\n"
+            "assert pb.G == 256, pb.G\n"
+            "K = 512\n"
+            "packed = jnp.zeros((16, K + pb.G), jnp.bfloat16)\n"
+            "pixf = jnp.zeros((8, 256, 2), jnp.float32)\n"
+            "starts = jnp.zeros((8,), jnp.int32)\n"
+            "ends = jnp.full((8,), 64, jnp.int32)\n"
+            "def loss(p):\n"
+            "    acc, tfin = pb.blend(p, pixf, starts, ends, 8, False, True)\n"
+            "    return jnp.sum(acc) + jnp.sum(tfin)\n"
+            "export.export(jax.jit(loss), platforms=['tpu'])(packed)\n"
+            "export.export(jax.jit(jax.grad(loss)), platforms=['tpu'])(packed)\n"
+            "print('G256 lowering ok')\n"
+        )
+        env = dict(os.environ, WAST3D_BLEND_G="256", JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [_sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "G256 lowering ok" in r.stdout
 
 
 class TestGradientParity:

@@ -27,6 +27,10 @@ step perf_exact 1200 python tools/perf_step.py \
   --modes segsum_sortpacked,none --iters 30 --fwd --cap-mult 5
 step perf_fast 1200 python tools/perf_step.py \
   --modes segsum_sortpacked --iters 30 --fwd --cap-mult 5 --fast
+# 2b. G=256 under the bf16 fast chain (NOTES r3s3 untried idea; lowering
+#     validated by test_blend_g256_fast_tier_lowers_for_tpu).
+step perf_fast_g256 1200 env WAST3D_BLEND_G=256 python tools/perf_step.py \
+  --modes segsum_sortpacked --iters 30 --fwd --cap-mult 5 --fast
 
 # 3. fast_chain quality gate (vs r2's 40.46 dB @ 7k/400^2 exact run).
 step qgate_fast 3000 python tools/quality_gate.py --iters 7000 \
