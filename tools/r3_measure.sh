@@ -32,6 +32,11 @@ step perf_fast 1200 python tools/perf_step.py \
 step perf_fast_g256 1200 env WAST3D_BLEND_G=256 python tools/perf_step.py \
   --modes segsum_sortpacked --iters 30 --fwd --cap-mult 5 --fast
 
+# 2c. 1M-scene step anatomy (where does the 723ms go at 1M/1296x832?).
+step perf_1m 2400 python tools/perf_step.py \
+  --modes segsum_sortpacked,none --iters 10 --fwd --cap-mult 5 \
+  --n 1000000 --res 1296x832
+
 # 3. fast_chain quality gate (vs r2's 40.46 dB @ 7k/400^2 exact run).
 step qgate_fast 3000 python tools/quality_gate.py --iters 7000 \
   --fast-chain --out runs/qgate_r3_fast
