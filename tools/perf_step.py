@@ -39,6 +39,8 @@ def main():
                     help="time step variants isolating Adam/stats/m2d-tap")
     ap.add_argument("--fast", action="store_true",
                     help="fast_chain=True (bf16 blend kernels)")
+    ap.add_argument("--no-tile-cull", action="store_true",
+                    help="disable the exact per-tile ellipse cull (A/B)")
     args = ap.parse_args()
 
     import jax
@@ -59,7 +61,7 @@ def main():
         return api.RasterizeSettings(
             renderer="pallas", dup_capacity=args.cap_mult * args.n,
             max_per_tile=1024, chunk=32, grad_reduce=mode,
-            fast_chain=args.fast,
+            fast_chain=args.fast, tile_cull=not args.no_tile_cull,
         )
 
     settings0 = mk_settings("segsum")

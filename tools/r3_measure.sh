@@ -27,6 +27,11 @@ step perf_exact 1200 python tools/perf_step.py \
   --modes segsum_sortpacked,none --iters 30 --fwd --cap-mult 5
 step perf_fast 1200 python tools/perf_step.py \
   --modes segsum_sortpacked --iters 30 --fwd --cap-mult 5 --fast
+# 2a2. Tile-cull A/B (exact per-tile ellipse cull; ~13% of dups culled
+#      on the bench scene -> expect ~2-4 ms off the step).
+step perf_nocull 1200 python tools/perf_step.py \
+  --modes segsum_sortpacked --iters 30 --fwd --cap-mult 5 --no-tile-cull
+
 # 2b. G=256 under the bf16 fast chain (NOTES r3s3 untried idea; lowering
 #     validated by test_blend_g256_fast_tier_lowers_for_tpu).
 step perf_fast_g256 1200 env WAST3D_BLEND_G=256 python tools/perf_step.py \

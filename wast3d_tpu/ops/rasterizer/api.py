@@ -58,6 +58,12 @@ class RasterizeSettings(NamedTuple):
     big_budget_divisor: int = 16  # phase-B budget = N / divisor
     route_capacity: int = 0  # tile-sharded render: per-destination-shard
     # duplicate slots for the all_to_all (0 = auto from dup_capacity)
+    tile_cull: bool = True  # exact per-tile ellipse cull at emission: drop
+    # duplicates whose max achievable alpha in the tile is < 1/255 (the
+    # blend kernel skips every pixel of those anyway, forward.cu:354).
+    # Mathematically exact (≈1-ulp reassociation noise only); shrinks
+    # dynamic per-tile ranges by ~13% (synthetic) to ~19% (trained
+    # scenes). Off switch for A/B timing only.
     fast_chain: bool = False  # pallas path: bf16 elementwise chain in the
     # blend kernels (fwd + bwd recompute/q/prefix; divides, moment
     # reductions and accumulators stay f32). ~0.3%-class alpha/gradient
@@ -175,6 +181,7 @@ def render(
             big_budget_divisor=settings.big_budget_divisor,
             grad_reduce=settings.grad_reduce,
             fast_chain=settings.fast_chain,
+            tile_cull=settings.tile_cull,
         )
         color, depth, final_T = out.color, out.depth, out.final_T
         overflow, overflow_emit = out.overflow, out.overflow_emit
@@ -192,6 +199,7 @@ def render(
             max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
             phase_a_tiles=settings.phase_a_tiles,
             big_budget_divisor=settings.big_budget_divisor,
+            tile_cull=settings.tile_cull,
         )
         color, depth, final_T = out.color, out.depth, out.final_T
         overflow, overflow_emit = out.overflow, out.overflow_emit

@@ -152,9 +152,27 @@ def bin_gaussians(
     big_budget_divisor: int = 16,
     ext_x: jnp.ndarray = None,
     ext_y: jnp.ndarray = None,
+    conics: jnp.ndarray = None,
+    opacities: jnp.ndarray = None,
+    jitter_margin: float = 0.0,
     _force_two_key: bool = False,
 ) -> Binning:
     """Build the depth-sorted per-tile Gaussian lists.
+
+    conics/opacities: when given, enable the exact per-tile ellipse cull:
+    a duplicate whose Gaussian cannot reach alpha >= 1/255 at ANY sample
+    point of the tile is skipped at every pixel by the blend kernel
+    (`forward.cu:354-358`: alpha < 1/255 -> continue, leaving color,
+    depth, T and all gradients untouched), so dropping it at emission is
+    mathematically exact — outputs/gradients move only by f32
+    reassociation noise (~1 ulp; survivors shift across blend chunk
+    boundaries) — while shrinking the dynamic per-tile ranges the blend
+    loops iterate over. Measured cullable fractions of
+    the tight-AABB duplicates: 13% on the synthetic bench scene, ~19% on
+    trained scenes (tools/cull_fraction.py). jitter_margin widens the
+    tile's sample box on the low side for per-pixel jitter (offsets in
+    (-1, 0], `gaussian_renderer/__init__.py:31`): pass 1.0 when
+    sampling_offsets are in play, 0.0 otherwise.
 
     _force_two_key: test hook — exercise the 2-key sort fallback (the
     path problems > ~1M x 4212 tiles take) at small sizes."""
@@ -196,8 +214,30 @@ def bin_gaussians(
     ovf_rect = jnp.any(tiles_touched > max_tiles_per_gaussian)
     ovf_emit = jnp.zeros((), bool)
     emitted = []  # per-phase packed keys (or (tile, rank) pairs)
+    culled_total = jnp.zeros((), jnp.int32)
 
-    def emission(xmin_s, ymin_s, rw_s, te_s, rank_s, r0, r_count):
+    # Exact per-tile ellipse cull (docstring): per-Gaussian columns
+    # [mx, my, A, B, C, B/C, B/A, tau] gathered alongside the rects.
+    # cull iff min over the tile's sample box of
+    # Q(d) = A dx^2 + 2B dx dy + C dy^2 exceeds tau = 2 ln(255 opa):
+    # alpha_max = opa exp(-Qmin/2) < 1/255 (forward.cu:354 skip). The
+    # 1e-3 slack keeps the decision strictly conservative against the
+    # blend kernel's own f32 power evaluation (different op order,
+    # ~1e-5-class differences).
+    cull_data = None
+    if conics is not None and opacities is not None:
+        ca, cb, cc = conics[:, 0], conics[:, 1], conics[:, 2]
+        tau = 2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1e-12)) + 1e-3
+        cull_data = jnp.stack(
+            [
+                means2d[:, 0], means2d[:, 1], ca, cb, cc,
+                cb / jnp.maximum(cc, 1e-12), cb / jnp.maximum(ca, 1e-12),
+                tau,
+            ],
+            axis=1,
+        )
+
+    def emission(xmin_s, ymin_s, rw_s, te_s, rank_s, r0, r_count, cd_s):
         """Keys for rect positions [r0, r0+r_count) of the selected
         (original-order) gaussians, laid out [slots, m] so lanes stay
         dense; rank_s carries each gaussian's depth rank into the key.
@@ -219,17 +259,56 @@ def bin_gaussians(
         ty = ymin_s[None, :] + ty_off
         tile_id = ty * grid_x + tx
         valid = r_idx < te_s[None, :]
+        n_culled = jnp.zeros((), jnp.int32)
+        if cd_s is not None:
+            # Exact tile cull. Sample box per tile: pixel centers
+            # [t*16, t*16+15] widened by jitter_margin on the LOW side
+            # only (offsets lie in (-1, 0]). Min of the PSD quadratic
+            # over the box: 0 if the mean is inside, else the min over
+            # the 4 edges (each a 1D quadratic with a clamped argmin).
+            mxs, mys = cd_s[:, 0][None, :], cd_s[:, 1][None, :]
+            a = cd_s[:, 2][None, :]
+            b = cd_s[:, 3][None, :]
+            c = cd_s[:, 4][None, :]
+            boc = cd_s[:, 5][None, :]
+            boa = cd_s[:, 6][None, :]
+            tau_s = cd_s[:, 7][None, :]
+            txf = (tx * TILE).astype(jnp.float32)
+            tyf = (ty * TILE).astype(jnp.float32)
+            x0 = txf - jitter_margin - mxs
+            x1 = txf + (TILE - 1) - mxs
+            y0 = tyf - jitter_margin - mys
+            y1 = tyf + (TILE - 1) - mys
+
+            def edge_x(cx):
+                dy = jnp.clip(-boc * cx, y0, y1)
+                return (a * cx + 2.0 * b * dy) * cx + c * dy * dy
+
+            def edge_y(cy):
+                dx = jnp.clip(-boa * cy, x0, x1)
+                return (c * cy + 2.0 * b * dx) * cy + a * dx * dx
+
+            qmin = jnp.minimum(
+                jnp.minimum(edge_x(x0), edge_x(x1)),
+                jnp.minimum(edge_y(y0), edge_y(y1)),
+            )
+            inside = (x0 <= 0) & (x1 >= 0) & (y0 <= 0) & (y1 >= 0)
+            keep = inside | (qmin <= tau_s)
+            n_culled = jnp.sum(valid & ~keep, dtype=jnp.int32)
+            valid = valid & keep
         if packable:
             key = tile_id.astype(jnp.uint32) * jnp.uint32(n) + rank_s[
                 None, :
             ].astype(jnp.uint32)
             inval = jnp.uint32(num_tiles * n)
-            return (jnp.where(valid, key, inval).reshape(-1),)
+            return (jnp.where(valid, key, inval).reshape(-1),), n_culled
         tile_id = jnp.where(valid, tile_id, num_tiles)
         rank2d = jnp.broadcast_to(rank_s[None, :], tile_id.shape)
-        return tile_id.reshape(-1), rank2d.reshape(-1)
+        return (tile_id.reshape(-1), rank2d.reshape(-1)), n_culled
 
-    emitted.append(emission(xmin, ymin, rect_w, te, rank_of, 0, ra))
+    em0, nc0 = emission(xmin, ymin, rect_w, te, rank_of, 0, ra, cull_data)
+    emitted.append(em0)
+    culled_total = culled_total + nc0
     # One fused cumsum for every band's budget-scarcity rank (b, N)
     # instead of one N-cumsum per band.
     if len(phases) > 1:
@@ -255,11 +334,14 @@ def bin_gaussians(
         te = te + te_phase
         ovf_emit = ovf_emit | jnp.any(wants & ~selected)
         te_sel = jnp.where(slot_live, te[sel_safe], 0)
-        emitted.append(
-            emission(xmin[sel_safe], ymin[sel_safe], rect_w[sel_safe],
-                     te_sel, rank_of[sel_safe], start, extra)
+        em_b, nc_b = emission(
+            xmin[sel_safe], ymin[sel_safe], rect_w[sel_safe],
+            te_sel, rank_of[sel_safe], start, extra,
+            None if cull_data is None else cull_data[sel_safe],
         )
-    total = jnp.sum(te)
+        emitted.append(em_b)
+        culled_total = culled_total + nc_b
+    total = jnp.sum(te) - culled_total
     ovf_dup = jnp.zeros((), bool)
 
     # 3. Sort. Valid entries sort to the FRONT (invalid carry

@@ -104,7 +104,7 @@ _sorted_gather.defvjp(_sg_fwd, _sg_bwd)
     static_argnames=("width", "height", "dup_capacity",
                      "max_tiles_per_gaussian", "interpret",
                      "phase_a_tiles", "big_budget_divisor", "grad_reduce",
-                     "fast_chain"),
+                     "fast_chain", "tile_cull"),
 )
 def render_pallas(
     prep: Preprocessed,
@@ -119,6 +119,7 @@ def render_pallas(
     big_budget_divisor: int = 16,
     grad_reduce: str = "scatter",
     fast_chain: bool = False,
+    tile_cull: bool = True,
 ) -> RenderOutput:
     grid_x, grid_y = tile_grid(width, height)
     num_tiles = grid_x * grid_y
@@ -129,6 +130,9 @@ def render_pallas(
         dup_capacity=dup_capacity, max_tiles_per_gaussian=max_tiles_per_gaussian,
         phase_a_tiles=phase_a_tiles, big_budget_divisor=big_budget_divisor,
         ext_x=prep.extent_x, ext_y=prep.extent_y,
+        conics=prep.conics if tile_cull else None,
+        opacities=prep.opacities if tile_cull else None,
+        jitter_margin=1.0 if sampling_offsets is not None else 0.0,
     )
     # Pack per-Gaussian rows once (elementwise), then ONE gather into sorted
     # order + transpose — instead of six separate gathers.

@@ -90,6 +90,8 @@ def _shard_render(
         phase_a_tiles=settings.phase_a_tiles,
         big_budget_divisor=settings.big_budget_divisor,
         ext_x=prep.extent_x, ext_y=prep.extent_y,
+        conics=prep.conics if settings.tile_cull else None,
+        opacities=prep.opacities if settings.tile_cull else None,
     )
     K = b.gauss_idx.shape[0]
     live = jnp.arange(K) < b.tile_end[-1]  # valid prefix of the sorted list
