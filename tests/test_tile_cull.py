@@ -118,6 +118,19 @@ class TestTileCullExactness:
         n_off = int(b_off.num_duplicates)
         n_on = int(b_on.num_duplicates)
         assert n_on < n_off, (n_on, n_off)
+        # The 2-key sort fallback (problems beyond uint32 packing) culls
+        # identically: same totals, same per-tile ranges.
+        b_2k = bm.bin_gaussians(prep.means2d, prep.depths, prep.radii,
+                                96, 80, ext_x=prep.extent_x,
+                                ext_y=prep.extent_y,
+                                conics=prep.conics,
+                                opacities=prep.opacities,
+                                _force_two_key=True, **common)
+        assert int(b_2k.num_duplicates) == n_on
+        np.testing.assert_array_equal(np.asarray(b_2k.tile_start),
+                                      np.asarray(b_on.tile_start))
+        np.testing.assert_array_equal(np.asarray(b_2k.tile_end),
+                                      np.asarray(b_on.tile_end))
         # tile range sums match the reported totals
         assert int(jnp.sum(b_on.tile_end - b_on.tile_start)) == n_on
         assert int(jnp.sum(b_off.tile_end - b_off.tile_start)) == n_off
