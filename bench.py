@@ -84,19 +84,46 @@ def main():
         fovx=0.9, fovy=0.9, width=w, height=h,
     )
     bg = jnp.zeros(3)
-    # dup_capacity 5x: true duplicate count at the bench scene is ~4.3N;
-    # 5N keeps the reduction sort under the next power-of-two pad
-    # boundary at 200k (2^20 vs 2^21: -2.2 ms/step measured r3).
-    settings = api.RasterizeSettings(
-        renderer=os.environ.get("BENCH_RENDERER", "pallas"),
-        dup_capacity=5 * n,
-        max_per_tile=int(os.environ.get("BENCH_MAX_PER_TILE", 1024)),
-        chunk=32,
-    )
+    # dup_capacity 4x: the bench scene emits ~3.97N duplicates of which
+    # the exact tile cull drops 13% -> ~3.46N kept (tools/cull_fraction),
+    # so 4N holds ~15% headroom while shrinking the static gather/pack
+    # and keeping the reduction sort under the 2^20 pad boundary at 200k
+    # (-2.2 ms/step vs 2^21, measured r3). BENCH_CAP_MULT to override the
+    # starting point; a truncated render would silently inflate the
+    # headline, so overflow auto-grows the cap instead of measuring junk.
+    def mk_settings(cap_mult):
+        return api.RasterizeSettings(
+            renderer=os.environ.get("BENCH_RENDERER", "pallas"),
+            dup_capacity=int(cap_mult * n),
+            max_per_tile=int(os.environ.get("BENCH_MAX_PER_TILE", 1024)),
+            chunk=32,
+        )
 
-    @jax.jit
-    def fwd(scene, camera, bg):
-        return api.render(camera, scene, bg, settings=settings)["render"]
+    cap0 = float(os.environ.get("BENCH_CAP_MULT", 4))
+    for cap_mult in (cap0, cap0 * 1.5, cap0 * 2.5, cap0 * 5):
+        settings = mk_settings(cap_mult)
+
+        @jax.jit
+        def fwd(scene, camera, bg, settings=settings):
+            return api.render(camera, scene, bg, settings=settings)["render"]
+
+        @jax.jit
+        def fwd_ovf(scene, camera, bg, settings=settings):
+            out = api.render(camera, scene, bg, settings=settings)
+            return out["overflow"], out["overflow_emit"], out["overflow_rect"]
+
+        ovf, ovf_emit, ovf_rect = (bool(x) for x in fwd_ovf(scene, cam, bg))
+        if not ovf:
+            break
+        if ovf_emit or ovf_rect:
+            raise AssertionError(
+                f"headline bench: emit/rect overflow (emit={ovf_emit}, "
+                f"rect={ovf_rect}) — this config needs bigger "
+                f"phase_a_tiles/max_tiles_per_gaussian, not dup_capacity")
+        print(f"bench: dup overflow at cap {cap_mult}N, growing",
+              file=sys.stderr)
+    else:
+        raise AssertionError("headline bench overflowed at 20x capacity")
 
     out = fwd(scene, cam, bg)
     jax.block_until_ready(out)
