@@ -327,6 +327,83 @@ class TestTPULowering:
         assert r.returncode == 0, r.stderr[-3000:]
         assert "G256 lowering ok" in r.stdout
 
+    @pytest.mark.parametrize("fast", [False, True])
+    def test_blend_g256_matches_g128(self, fast, tmp_path):
+        """Chunk-size independence: the same scene rendered with G=256
+        (two-level _scan_dot, NSUB=2) must match G=128 to reassociation
+        tolerance, forward and gradients. Guards the G>SUB inclusive
+        prefix-scan path before chip-time experiments trust it."""
+        import subprocess
+        import sys as _sys
+
+        out_npz = tmp_path / "g256.npz"
+        code = (
+            "import os\n"
+            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+            "import sys\n"
+            "sys.path.insert(0, %r)\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import jax.numpy as jnp\n"
+            "import numpy as np\n"
+            "from wast3d_tpu.ops.rasterizer import pallas_blend as pb\n"
+            "assert pb.G == 256, pb.G\n"
+            "from wast3d_tpu.ops.rasterizer import api\n"
+            "from tests.test_rasterizer import _cam, _random_scene, BLACK\n"
+            "scene = _random_scene(n=150, seed=5)\n"
+            "cam = _cam(w=64, h=64, eye=(0, 0, -4))\n"
+            "settings = api.RasterizeSettings(\n"
+            "    renderer='pallas', dup_capacity=1 << 13,\n"
+            "    pallas_interpret=True, grad_reduce='segsum',\n"
+            "    fast_chain=%s)\n"
+            "def loss(xyz):\n"
+            "    out = api.render(cam, scene.replace(xyz=xyz), BLACK,\n"
+            "                     settings=settings)\n"
+            "    return jnp.sum(out['render'] * jnp.cos(out['render'])), out\n"
+            "(l, out), g = jax.value_and_grad(loss, has_aux=True)(scene.xyz)\n"
+            "np.savez(%r, render=np.asarray(out['render']),\n"
+            "         depth=np.asarray(out['depth']),\n"
+            "         final_T=np.asarray(out['final_T']), grad=np.asarray(g))\n"
+            "print('saved')\n"
+        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             fast, str(out_npz))
+        env = dict(os.environ, WAST3D_BLEND_G="256", JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [_sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+
+        from wast3d_tpu.ops.rasterizer import pallas_blend as pb
+
+        assert pb.G == 128  # parent process untouched
+        from tests.test_rasterizer import _random_scene
+
+        scene = _random_scene(n=150, seed=5)
+        cam = _cam(w=64, h=64, eye=(0, 0, -4))
+        settings = api.RasterizeSettings(
+            renderer="pallas", dup_capacity=1 << 13,
+            pallas_interpret=True, grad_reduce="segsum", fast_chain=fast)
+
+        def loss(xyz):
+            out = api.render(cam, scene.replace(xyz=xyz), jnp.zeros(3),
+                             settings=settings)
+            return jnp.sum(out["render"] * jnp.cos(out["render"])), out
+
+        (l, out), g = jax.value_and_grad(loss, has_aux=True)(scene.xyz)
+        ref = np.load(out_npz)
+        # fast tier: bf16 chain reassociation differs more across chunk
+        # widths than the f32 chain does.
+        tol = 3e-3 if fast else 3e-5
+        np.testing.assert_allclose(np.asarray(out["render"]),
+                                   ref["render"], atol=tol)
+        np.testing.assert_allclose(np.asarray(out["final_T"]),
+                                   ref["final_T"], atol=tol)
+        gref = ref["grad"]
+        scale = max(np.abs(gref).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(g) / scale, gref / scale,
+                                   atol=10 * tol)
+
 
 class TestGradientParity:
     def _loss(self, cam, scene, settings, field="xyz"):
