@@ -102,6 +102,34 @@ class TestStyleSweep:
             xyz = np.asarray(out.xyz)[np.asarray(out.mask)]
             assert np.isfinite(xyz).all()
 
+    def test_fit_all_balls_ball_axis_sharding_matches_single(self):
+        """Single-style fit with the ball axis sharded over the full mesh
+        (the north-star scale-out: fit_all_balls(mesh=...)) must agree
+        with the unsharded path — each ball's fit is an independent
+        program, so sharding may only change placement, not math."""
+        from wast3d_tpu.config import StylizeConfig
+        from wast3d_tpu.stylize import fit as F
+
+        rng = np.random.default_rng(7)
+        patch = rng.normal(size=(30, 3)).astype(np.float32) * 0.2
+        domain = rng.normal(size=(400, 3)).astype(np.float32)
+        domain /= np.maximum(
+            np.linalg.norm(domain, axis=1, keepdims=True), 1e-6)
+        # 11 balls (not a multiple of 8 devices: exercises batch padding).
+        circles = [rng.choice(400, size=rng.integers(20, 60), replace=False)
+                   for _ in range(11)]
+        cfg = StylizeConfig(global_knn=8, global_stride=3, local_knn=5,
+                            fit_steps=12, domain_knn=4, ball_capacity=64)
+
+        single = F.fit_all_balls(patch, domain, circles, cfg=cfg,
+                                 batch_size=4)
+        mesh = make_mesh(8, data=4)
+        sharded = F.fit_all_balls(patch, domain, circles, cfg=cfg,
+                                  batch_size=4, mesh=mesh)
+        assert len(single) == len(sharded) == 11
+        for a, b in zip(single, sharded):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
     def test_sweep_no_mesh(self):
         # Same path without sharding (single device fallback).
         self_test = TestStyleSweep()

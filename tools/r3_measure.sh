@@ -38,8 +38,10 @@ step perf_fast_g256 1200 env WAST3D_BLEND_G=256 python tools/perf_step.py \
   --modes segsum_sortpacked --iters 30 --fwd --cap-mult 5 --fast
 
 # 2c. 1M-scene step anatomy (where does the 723ms go at 1M/1296x832?).
-step perf_1m 2400 python tools/perf_step.py \
-  --modes segsum_sortpacked,none --iters 10 --fwd --cap-mult 5 \
+#     --pieces isolates Adam/stats/m2d-tap; none-mode ablates the
+#     gradient reduction; --fwd gives the fwd-only floor.
+step perf_1m 3600 python tools/perf_step.py \
+  --modes segsum_sortpacked,none --iters 10 --fwd --pieces --cap-mult 5 \
   --n 1000000 --res 1296x832
 
 # 3. fast_chain quality gate (vs r2's 40.46 dB @ 7k/400^2 exact run).
@@ -61,3 +63,5 @@ step qgate_1m 12000 python tools/quality_gate.py --iters 7000 --res 1024 \
   --out runs/qgate_r3_1m
 
 echo "=== ALL DONE $(date -u +%H:%M:%S) ==="
+# Persist the session log next to its artifacts (tmp does not survive).
+cp -f /tmp/r3_measure.log runs/r3_measure.log 2>/dev/null || true

@@ -21,6 +21,9 @@ def main() -> None:
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max_style_points", type=int, default=16384)
+    parser.add_argument("--devices", type=int, default=1,
+                        help="shard the ball-fit axis over this many "
+                             "devices (1 = single device)")
     add_config_args(parser, StylizeConfig())
     args = parser.parse_args()
     cfg = extract_config(StylizeConfig, args)
@@ -30,10 +33,15 @@ def main() -> None:
     enable()
     from wast3d_tpu.stylize.pipeline import stylize_from_files
 
+    mesh = None
+    if args.devices > 1:
+        from wast3d_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices, data=args.devices)
     stylize_from_files(
         args.content, args.style_cluster, args.output, cfg=cfg,
         seed=args.seed, batch_size=args.batch_size, verbose=True,
-        max_style_points=args.max_style_points,
+        max_style_points=args.max_style_points, mesh=mesh,
     )
 
 

@@ -402,14 +402,38 @@ def fit_all_balls(
     circles: List[np.ndarray],
     cfg: StylizeConfig = StylizeConfig(),
     batch_size: int = 8,
+    mesh=None,
 ) -> List[np.ndarray]:
     """Host driver: pad balls, fit in vmapped batches, return per-ball
     fitted point arrays [M, 3] (the reference's sequential
-    `optimize_all_by_clusters`, parallelized)."""
+    `optimize_all_by_clusters`, parallelized).
+
+    With a `mesh`, the ball axis additionally shards across every mesh
+    device (each ball's fit is independent — the reference's outer loop,
+    SURVEY.md §3.4): descriptors/patch replicate, each device fits
+    batch_size/n_devices balls per dispatch. This is the single-style
+    scale-out of the BASELINE north star (v5p-8 fits 8 ball batches at
+    once); the style-axis analogue for sweeps lives in stylize/sweep.py."""
     target_desc = compute_target_descriptors(target_points, cfg)
     tp = jnp.asarray(target_points, jnp.float32)
     cap = min(cfg.ball_capacity, max(len(c) for c in circles))
     balls, mask = pad_balls(np.asarray(domain_points, np.float32), circles, cap)
+
+    place_batch = lambda x: x
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        nd = int(mesh.devices.size)
+        # Every device must own an equal slab of the ball axis.
+        batch_size = max(batch_size, nd)
+        batch_size += (-batch_size) % nd
+        ball_sh = NamedSharding(mesh, P(("data", "model")))
+        rep = NamedSharding(mesh, P())
+        place_batch = lambda x: jax.device_put(x, ball_sh)
+        tp = jax.device_put(tp, rep)
+        target_desc = jax.tree.map(lambda x: jax.device_put(x, rep),
+                                   target_desc)
+
     results = []
     for s in range(0, len(circles), batch_size):
         batch = jnp.asarray(balls[s : s + batch_size])
@@ -420,7 +444,12 @@ def fit_all_balls(
             batch = jnp.pad(batch, ((0, pad), (0, 0), (0, 0)))
             bm = jnp.pad(bm, ((0, pad), (0, 0)))
             bm = bm.at[-pad:, 0].set(True)  # keep stats finite
-        fitted = fit_balls(tp, target_desc, batch, bm, cfg)
+        batch, bm = place_batch(batch), place_batch(bm)
+        if mesh is not None:
+            with mesh:
+                fitted = fit_balls(tp, target_desc, batch, bm, cfg)
+        else:
+            fitted = fit_balls(tp, target_desc, batch, bm, cfg)
         fitted = np.asarray(fitted)
         for b in range(min(batch_size, len(circles) - s)):
             results.append(fitted[b])

@@ -41,6 +41,7 @@ def stylize_scene(
     batch_size: int = 8,
     verbose: bool = False,
     max_style_points: Optional[int] = 16384,
+    mesh=None,
 ) -> GaussianScene:
     """Content scene + style patch -> stylized scene.
 
@@ -83,9 +84,10 @@ def stylize_scene(
         print(f"domain {len(domain)} pts, {len(circles)} balls, "
               f"patch {len(patch)} pts ({time.time() - t0:.1f}s)")
 
-    # 4. vmapped fit
+    # 4. vmapped fit (ball axis shards over the mesh when one is given)
     fitted = fit.fit_all_balls(
-        patch.xyz, domain, circles, cfg=cfg, batch_size=batch_size
+        patch.xyz, domain, circles, cfg=cfg, batch_size=batch_size,
+        mesh=mesh,
     )
     if verbose:
         print(f"fit done ({time.time() - t0:.1f}s)")
