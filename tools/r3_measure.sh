@@ -22,6 +22,12 @@ step probe 120 python -c "import jax; print(jax.devices())" || exit 1
 #    even if the driver's own bench hits a tunnel outage.
 step bench 3000 python bench.py | tee runs/bench_r3_interim.json
 
+# 4. At-scale exact gate: 30k iters, 800^2, 300k-point detail scene
+#    (dataset already rendered under runs/qgate_r3_800_300k/data).
+step qgate_800 9000 python tools/quality_gate.py --iters 30000 --res 800 \
+  --blobs 1200 --pts 250 --views 60 --detail --init-gt \
+  --data runs/qgate_r3_800_300k/data --out runs/qgate_r3_800_300k
+
 # 2. Step anatomy: default vs ablated reduction, fwd-only, fast chain.
 step perf_exact 1200 python tools/perf_step.py \
   --modes segsum_sortpacked,none --iters 30 --fwd --cap-mult 5
@@ -47,12 +53,6 @@ step perf_1m 3600 python tools/perf_step.py \
 # 3. fast_chain quality gate (vs r2's 40.46 dB @ 7k/400^2 exact run).
 step qgate_fast 3000 python tools/quality_gate.py --iters 7000 \
   --fast-chain --out runs/qgate_r3_fast
-
-# 4. At-scale exact gate: 30k iters, 800^2, 300k-point detail scene
-#    (dataset already rendered under runs/qgate_r3_800_300k/data).
-step qgate_800 9000 python tools/quality_gate.py --iters 30000 --res 800 \
-  --blobs 1200 --pts 250 --views 60 --detail --init-gt \
-  --data runs/qgate_r3_800_300k/data --out runs/qgate_r3_800_300k
 
 # 4b. 16k descriptor build (VERDICT item 4: target < 15 s/patch).
 step descbuild 1200 python tools/perf_descbuild.py | tee runs/descbuild_r3.json
