@@ -28,6 +28,9 @@ def main() -> None:
                         choices=["isotropic", "anisotropic", "anisotropic_simple"])
     parser.add_argument("--white_background", "-w", action="store_true")
     parser.add_argument("--turntable_frames", type=int, default=60)
+    parser.add_argument("--devices", type=int, default=1,
+                        help="shard the stylization ball-fit axis over "
+                             "this many devices")
     parser.add_argument("--skip_recon", action="store_true",
                         help="reuse existing reconstructions in workdir")
     args = parser.parse_args()
@@ -77,7 +80,12 @@ def main() -> None:
 
     content_scene = load_ply(content_ply)
     patch = load_cluster(paths[args.style_cluster_index])
-    stylized = stylize_scene(content_scene, patch, verbose=True)
+    mesh = None
+    if args.devices > 1:
+        from wast3d_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices, data=args.devices)
+    stylized = stylize_scene(content_scene, patch, verbose=True, mesh=mesh)
     out_ply = os.path.join(args.workdir, "stylized.ply")
     save_ply(stylized, out_ply)
     print(f"stylized scene -> {out_ply}")
