@@ -189,7 +189,11 @@ def main():
     # BENCH artifacts track the whole ladder (BENCH_LADDER=0 skips).
     ladder = {}
     if os.environ.get("BENCH_LADDER", "1") != "0":
-        ladder = _bench_ladder(iters=max(4, iters // 4))
+        try:
+            ladder = _bench_ladder(iters=max(4, iters // 4))
+        except Exception as e:  # noqa: BLE001 - aux must not kill headline
+            print(f"# ladder bench failed: {e}", file=sys.stderr)
+            ladder = {"ladder_error": str(e)[:200]}
 
     baseline_mpix = 207.4  # upstream 3DGS ">100FPS @1080p" claim
     # Reference stylization throughput context: its fit is SEQUENTIAL,
@@ -231,13 +235,29 @@ def _bench_ladder(iters=5):
     cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
                          fovx=0.9, fovy=0.9, width=w, height=h)
     bg = jnp.zeros(3)
-    settings = api.RasterizeSettings(
-        renderer="pallas", dup_capacity=5 * n, max_per_tile=1024, chunk=32
-    )
+    # 4N: with the exact tile cull the bench scene keeps ~3.46N dups, so
+    # 4N holds headroom while keeping the reduction sort at the 2^22 pad
+    # (5N pads to 2^23 — double the sort for nothing). Overflow-checked:
+    # grow rather than measure a truncated render.
+    for cap_mult in (4, 6, 10):
+        settings = api.RasterizeSettings(
+            renderer="pallas", dup_capacity=cap_mult * n,
+            max_per_tile=1024, chunk=32,
+        )
 
-    @jax.jit
-    def fwd(scene, camera, bg):
-        return api.render(camera, scene, bg, settings=settings)["render"]
+        @jax.jit
+        def fwd(scene, camera, bg, settings=settings):
+            return api.render(camera, scene, bg, settings=settings)["render"]
+
+        @jax.jit
+        def fwd_ovf(scene, camera, bg, settings=settings):
+            return api.render(camera, scene, bg, settings=settings)["overflow"]
+
+        if not bool(fwd_ovf(scene, cam, bg)):
+            break
+        print(f"# 1M ladder: overflow at {cap_mult}N, growing", file=sys.stderr)
+    else:
+        raise AssertionError("1M ladder overflowed at 10x capacity")
 
     out = fwd(scene, cam, bg)
     jax.block_until_ready(out)
