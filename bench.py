@@ -295,9 +295,8 @@ def _bench_ladder(iters=5):
         "sweep_ball_steps_per_s": round(sweep_bs, 2),
     }
     del scene, state, st
-    mpix_4m = _bench_4m(iters=3)
-    if mpix_4m is not None:
-        out["mpix_4m_1296x832"] = mpix_4m
+    four_m = _bench_4m(iters=3)
+    out.update(four_m)
     trained = _bench_trained_scene(iters=max(10, iters))
     if trained is not None:
         out["mpix_trained_27k_400"] = trained[0]
@@ -309,17 +308,21 @@ def _bench_4m(iters=3):
     """BASELINE config 4 single-chip groundwork: 4M Gaussians at
     1296x832. (num_tiles+1)*N > 2^32 here, so binning exercises the
     2-key (tile, rank) fallback sort — the u64-as-2x-u32 tier
-    (binning.py: `packable`). Returns fwd MPix/s, or None on failure."""
+    (binning.py: `packable`). Returns {fwd MPix/s, train steps/s} (each
+    guarded independently; empty dict on total failure)."""
     import jax
     import jax.numpy as jnp
 
     from wast3d_tpu.ops.rasterizer import api
 
     n, w, h = 4_000_000, 1296, 832
+    res = {}
     try:
         scene = _build(n, cap=n)
+        # 5N: same kept-dup argument as the 1M ladder (+4M headroom);
+        # 20M pads to 2^25 either way, 6N would too.
         settings = api.RasterizeSettings(
-            renderer="pallas", dup_capacity=6 * n, max_per_tile=1024,
+            renderer="pallas", dup_capacity=5 * n, max_per_tile=1024,
             chunk=32,
         )
         from wast3d_tpu.core.camera import look_at_camera
@@ -340,10 +343,37 @@ def _bench_4m(iters=3):
         for _ in range(iters):
             out, _ = fwd(scene, cam, bg)
         jax.block_until_ready(out)
-        return round((w * h / 1e6) / ((time.perf_counter() - t0) / iters), 2)
+        res["mpix_4m_1296x832"] = round(
+            (w * h / 1e6) / ((time.perf_counter() - t0) / iters), 2)
     except Exception as e:  # noqa: BLE001 - bench must degrade, not die
         print(f"# 4M bench skipped: {e}", file=sys.stderr)
-        return None
+        return res
+
+    try:
+        from wast3d_tpu.config import OptimizationConfig
+        from wast3d_tpu.train import reconstruct as R
+
+        state = R.init_train_state(scene, OptimizationConfig(), 1.0)
+        key = jax.random.PRNGKey(0)
+
+        def step(st):
+            st, _ = R.train_step(
+                st, cam, out, bg, key, opt_cfg=OptimizationConfig(),
+                settings=settings, width=w, height=h, jitter=False,
+            )
+            return st
+
+        st = step(state)
+        jax.block_until_ready(st.scene.xyz)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st = step(st)
+        jax.block_until_ready(st.scene.xyz)
+        res["train_step_per_s_4m"] = round(
+            iters / (time.perf_counter() - t0), 3)
+    except Exception as e:  # noqa: BLE001 (likely HBM-bound; fwd stands)
+        print(f"# 4M train-step bench skipped: {e}", file=sys.stderr)
+    return res
 
 
 def _bench_trained_scene(iters=10):
