@@ -344,3 +344,18 @@ class TestTileShardedRender:
             got = render_tile_sharded(cam, scene, jnp.zeros(3), mesh,
                                       settings)
         assert bool(got["overflow"])
+
+
+class TestMultihost:
+    def test_single_process_noop_and_mesh(self):
+        """init_distributed in a single-process CPU run must be a no-op
+        (not a hang waiting for a coordinator) and global_mesh must mesh
+        every visible device."""
+        from wast3d_tpu.parallel.multihost import (
+            global_mesh, init_distributed, is_coordinator)
+
+        assert init_distributed() == 0
+        assert init_distributed() == 0  # idempotent
+        assert is_coordinator()
+        mesh = global_mesh(data=2)
+        assert mesh.devices.size == 8 and mesh.axis_names == ("data", "model")
