@@ -57,6 +57,11 @@ step qgate_fast 3000 python tools/quality_gate.py --iters 7000 \
 # 4b. 16k descriptor build (VERDICT item 4: target < 15 s/patch).
 step descbuild 1200 python tools/perf_descbuild.py | tee runs/descbuild_r3.json
 
+# 4c. Quantitative stylization gate (reference protocol: 1000 Adam
+#     steps/ball) — desc-loss reduction + absolute edge-length W1.
+step stylegate 3000 python tools/stylize_gate.py --content-n 200000 \
+  --patch-m 2048 --fit-steps 1000 --out runs/stylegate_r3
+
 # 5. 1M-Gaussian recon gate, truncated to 7k iters (config-3 class).
 step qgate_1m 12000 python tools/quality_gate.py --iters 7000 --res 1024 \
   --blobs 4000 --pts 250 --views 60 --detail --init-gt \

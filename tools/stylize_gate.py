@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Quantitative stylization quality gate.
+
+The recon gates (tools/quality_gate.py) score held-out PSNR; the
+reference validates stylization only VISUALLY (notebook 11 renders,
+SURVEY.md §4). This gate makes the WaSt-3D objective measurable: run the
+full ball pipeline (prepare -> cover -> fit -> merge) on a synthetic
+content/style pair and record
+
+  - desc_loss_init / desc_loss_final: mean two-scale NN-descriptor loss
+    of the fitted points vs the frozen style descriptors, against the
+    same loss at the (reference-exact) init placement `patch*5*std+mean`
+    — the quantity the 1000-step Adam fit minimizes (notebook 11 cell 28);
+  - edge_w1_init / edge_w1_final: Wasserstein-1 distance between the
+    style patch's local 5-NN edge-length distribution and each ball's,
+    in ABSOLUTE units (the descriptors preserve absolute distances, so a
+    faithful transfer reproduces style edge lengths; the x5*std init
+    placement starts ~5 ball-stds away — the gate checks the fit pulls
+    the distribution onto the style's);
+  - domain_coverage_frac: fraction of domain points within the ball
+    radius of some fitted point (did the patches actually cover the
+    scene);
+  - wall-clock per stage.
+
+Usage:
+  python tools/stylize_gate.py [--content-n 200000] [--patch-m 2048]
+      [--fit-steps 1000] [--out runs/stylegate] [--devices N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _enable_cache():
+    import jax
+
+    if os.environ.get("WAST3D_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def make_content(n, seed=0):
+    """Sphere-shell content scene (the bench scene shape)."""
+    import bench as bench_mod
+
+    return bench_mod._build(n, cap=n)
+
+
+def make_style_patch(m, seed=1):
+    """Synthetic 'crystal lattice' style patch: clustered rods with a
+    distinctive, highly non-uniform NN-edge-length distribution."""
+    from wast3d_tpu.stylize.cluster import StylePatch
+
+    rng = np.random.default_rng(seed)
+    k = max(8, m // 64)  # rods
+    centers = rng.uniform(-1, 1, (k, 3))
+    dirs = rng.normal(size=(k, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    per = m // k
+    pts = []
+    for c, d in zip(centers, dirs):
+        t = np.linspace(0, 0.6, per)[:, None]
+        pts.append(c + t * d + rng.normal(size=(per, 3)) * 0.015)
+    pts = np.concatenate(pts)[:m].astype(np.float32) * 0.25
+    return StylePatch({
+        "_xyz": pts,
+        "_features_dc": rng.uniform(0.2, 0.8, (m, 1, 3)).astype(np.float32),
+        "_features_rest": np.zeros((m, 15, 3), np.float32),
+        "_rotation": np.tile([[1, 0, 0, 0]], (m, 1)).astype(np.float32),
+        "_scaling": np.full((m, 3), -5.0, np.float32),
+        "_opacity": np.full((m, 1), 2.0, np.float32),
+    })
+
+
+def local_edge_lengths(points, k=5):
+    """k-NN edge lengths (self excluded), ABSOLUTE units."""
+    import jax.numpy as jnp
+
+    from wast3d_tpu.ops.knn import knn_sq_dists
+
+    d, _ = knn_sq_dists(jnp.asarray(points, jnp.float32),
+                        jnp.asarray(points, jnp.float32), k=k,
+                        exclude_self=True)
+    return np.sqrt(np.maximum(np.asarray(d), 0.0)).ravel()
+
+
+def w1(a, b, q=256):
+    """Wasserstein-1 between 1-D samples via quantile matching."""
+    qs = np.linspace(0, 1, q)
+    return float(np.mean(np.abs(np.quantile(a, qs) - np.quantile(b, qs))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--content-n", type=int, default=200_000)
+    ap.add_argument("--patch-m", type=int, default=2048)
+    ap.add_argument("--fit-steps", type=int, default=1000)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--devices", type=int, default=1)
+    ap.add_argument("--out", default="runs/stylegate")
+    args = ap.parse_args()
+    _enable_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from wast3d_tpu.config import StylizeConfig
+    from wast3d_tpu.stylize import coverage, fit, prepare
+    from wast3d_tpu.stylize.pipeline import clean_style_patch, stylize_scene
+
+    t0 = time.time()
+    content = make_content(args.content_n)
+    patch = make_style_patch(args.patch_m)
+    cfg = StylizeConfig(fit_steps=args.fit_steps)
+    if os.environ.get("WAST3D_FORCE_CPU"):
+        cfg = StylizeConfig(fit_steps=args.fit_steps, pallas_interpret=True,
+                            desc_kernel=False)
+    mesh = None
+    if args.devices > 1:
+        from wast3d_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices, data=args.devices)
+
+    # --- stages replicated from stylize_scene, instrumented ---
+    mask = np.asarray(content.mask)
+    content_xyz = np.asarray(content.xyz)[mask]
+    t_prep0 = time.time()
+    domain_idx = prepare.prepare_scene(
+        content_xyz, num_clusters=cfg.num_content_clusters,
+        q=cfg.outlier_quantile, kth_neighbor=cfg.outlier_knn, seed=0)
+    domain = content_xyz[domain_idx]
+    cpatch = clean_style_patch(patch)
+    t_prep = time.time() - t_prep0
+
+    _, d_outer = coverage.cluster_radius(cpatch.xyz)
+    r_ball = d_outer * cfg.ball_radius_factor
+    circles = coverage.sample_circles(
+        domain, r=r_ball, min_points_per_cluster=cfg.min_ball_points)
+    circles = coverage.filter_circles(
+        circles, min_points=max(1, cfg.min_ball_points // 2))
+
+    t_fit0 = time.time()
+    fitted = fit.fit_all_balls(cpatch.xyz, domain, circles, cfg=cfg,
+                               batch_size=args.batch_size, mesh=mesh)
+    t_fit = time.time() - t_fit0
+
+    # --- metrics ---
+    td = fit.compute_target_descriptors(cpatch.xyz, cfg)
+    m = len(cpatch.xyz)
+    mp = td.points.shape[0]
+    interp = bool(getattr(cfg, "pallas_interpret", False))
+
+    def desc_loss(pts):
+        pad = jnp.pad(jnp.asarray(pts, jnp.float32), ((0, mp - m), (0, 0)))
+        return float(fit.descriptor_loss(pad, td, cfg.desc_block,
+                                         interpret=interp))
+
+    rng = np.random.default_rng(0)
+    tp = np.asarray(cpatch.xyz)
+    init_losses, final_losses, w1_init, w1_final = [], [], [], []
+    style_edges = local_edge_lengths(tp)
+    for idx, f in zip(circles, fitted):
+        ball = domain[idx]
+        mean, std = ball.mean(0), ball.std(0)
+        init_pts = tp * std * 5.0 + mean  # the reference init placement
+        init_losses.append(desc_loss(init_pts))
+        final_losses.append(desc_loss(f))
+        w1_init.append(w1(style_edges, local_edge_lengths(init_pts)))
+        w1_final.append(w1(style_edges, local_edge_lengths(f)))
+
+    # Coverage: domain points within r_ball of some fitted point
+    # (subsample domain for the metric; exactness not needed).
+    from wast3d_tpu.ops.knn import knn_sq_dists
+
+    dsub = domain[rng.choice(len(domain), min(20_000, len(domain)),
+                             replace=False)]
+    allpts = np.concatenate(fitted).astype(np.float32)
+    dmin, _ = knn_sq_dists(jnp.asarray(dsub), jnp.asarray(allpts), k=1)
+    covered = float(np.mean(np.sqrt(np.maximum(np.asarray(dmin)[:, 0], 0))
+                            < r_ball))
+
+    res = {
+        "content_n": args.content_n, "patch_m": m,
+        "balls": len(circles), "fit_steps": args.fit_steps,
+        "desc_loss_init": round(float(np.mean(init_losses)), 5),
+        "desc_loss_final": round(float(np.mean(final_losses)), 5),
+        "desc_loss_reduction_x": round(
+            float(np.mean(init_losses) / max(np.mean(final_losses), 1e-12)), 1),
+        "edge_w1_init": round(float(np.mean(w1_init)), 5),
+        "edge_w1_final": round(float(np.mean(w1_final)), 5),
+        "edge_w1_reduction_x": round(
+            float(np.mean(w1_init) / max(np.mean(w1_final), 1e-12)), 1),
+        "style_edge_median": round(float(np.median(style_edges)), 5),
+        "domain_coverage_frac": round(covered, 3),
+        "prepare_s": round(t_prep, 1), "fit_s": round(t_fit, 1),
+        "wall_s": round(time.time() - t0, 1),
+        "device": str(jax.devices()[0]),
+        "devices": args.devices,
+    }
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "stylize_gate.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
