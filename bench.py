@@ -28,6 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 def _enable_jax_cache():
+    # No persistent cache on CPU: foreign-host CPU AOT entries abort on
+    # deserialize (see utils/cache.enable). Bench runs on the TPU.
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu" or \
+            os.environ.get("WAST3D_FORCE_CPU"):
+        return
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

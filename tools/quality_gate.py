@@ -37,6 +37,9 @@ def _enable_cache():
         # Env JAX_PLATFORMS=cpu alone is overridden by the axon plugin;
         # the config update post-import is what sticks (conftest.py).
         jax.config.update("jax_platforms", "cpu")
+        # No persistent cache on CPU: foreign-host CPU AOT entries abort
+        # on deserialize (utils/cache.enable doc).
+        return
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -45,6 +45,9 @@ def _enable_cache():
 
     if os.environ.get("WAST3D_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
+        # No persistent cache on CPU: foreign-host CPU AOT entries abort
+        # on deserialize (utils/cache.enable doc).
+        return
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -11,12 +11,20 @@ def enable(path: str = None) -> None:
     try:
         import jax
 
+        repo = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        # Forced-CPU runs get NO persistent cache (unless the caller
+        # overrides): CPU entries are AOT-compiled for the current host's
+        # CPU features, and deserializing one on a different host
+        # generation ABORTS the process (machine-feature mismatch, e.g.
+        # 'prefer-no-scatter'). CPU compiles are seconds; the cache
+        # exists for the 30-300s TPU tunnel compiles.
+        path = path or os.environ.get("WAST3D_JAX_CACHE")
+        if path is None and os.environ.get("WAST3D_FORCE_CPU"):
+            return
         jax.config.update(
             "jax_compilation_cache_dir",
-            path or os.environ.get("WAST3D_JAX_CACHE",
-                                   os.path.join(os.path.dirname(os.path.dirname(
-                                       os.path.dirname(os.path.abspath(__file__)))),
-                                       ".jax_cache")),
+            path or os.path.join(repo, ".jax_cache"),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
