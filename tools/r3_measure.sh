@@ -17,6 +17,12 @@ step() {
 # 0. Tunnel sanity probe (fail fast if the relay is still down).
 step probe 120 python -c "import jax; print(jax.devices())" || exit 1
 
+# 0b. Compile/run smoke: Mosaic kernel compilation only happens against
+#     the real backend, so CPU-session work can land chip-only compile
+#     regressions (r3: scf.yield layout mismatch). Gate the whole queue
+#     on it.
+step smoke 900 python tools/tpu_smoke.py || exit 1
+
 # 1. Headline bench, full ladder -> committed by driver as BENCH_r03.
 #    Also recorded in-repo (runs/) so the round keeps a perf artifact
 #    even if the driver's own bench hits a tunnel outage.

@@ -172,8 +172,10 @@ def _scan_dot_fast(x, u_bf16):
 def _chunk_quantities(data, px, py, logT, done, start, end, off):
     """Shared forward recomputation for one chunk.
 
-    data: (16, G); px/py: (P, 1); logT: (P, 1) f32; done: (P, 1) bool.
-    All pixel x entry matrices are (P, G)."""
+    data: (16, G); px/py: (P, 1); logT: (P, 1) f32; done: (P, 1) f32
+    (0/1; the mask is derived HERE so its i1 bitwidth-layout matches this
+    chain's compares — mixing 32-bit and 16-bit masks needs an i1
+    relayout Mosaic cannot do). All pixel x entry matrices are (P, G)."""
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1) + off
     col_valid = (cols >= start) & (cols < end)  # (1,G)
 
@@ -222,14 +224,15 @@ def _chunk_quantities(data, px, py, logT, done, start, end, off):
     # T_prev[j+1]), and test_T < eps iff the entry triggers (alpha > 0)
     # or T_prev was already below eps (alpha == 0 -> test_T == T_prev).
     # The set equality is exact, not an approximation.
-    done_incl = done | (test_T < T_EPS)  # (P,G); done is (P,1) bool
+    done_incl = (done > 0.5) | (test_T < T_EPS)  # (P,G) 32-bit mask
     w = jnp.where(done_incl, 0.0, alpha * T_prev)
     # s masked to contributing entries: callers fold it into the running
     # logT (log1p(-alpha) of skipped/post-done entries is exactly 0/s
     # respectively, so this REUSES the transcendental instead of a second
     # log1p over (P, G) in the caller). By the same monotonicity,
-    # done_incl's LAST column is this chunk's carry-out done flag — no
-    # f32 cast + lane max-reduce needed in the callers.
+    # done_incl's lane-OR == its LAST column == this chunk's carry-out
+    # done flag; callers must compute it as a lane REDUCE (replicated
+    # layout), not a lane slice — see the kernel bodies.
     s_live = jnp.where(done_incl, 0.0, s)
     return alpha, T_prev, done_incl, w, s_live
 
@@ -265,17 +268,30 @@ def _chunk_quantities_fast(data, px, py, logT, done, start, end, off):
     dy = my - py.astype(bf)
     power = (Ah * dx) * dx + (Ch * dy) * dy + (Bn * dx) * dy
     alpha = jnp.minimum(bf(ALPHA_MAX), opa * jnp.exp(power))
-    skip = (power > bf(0)) | (alpha < bf(ALPHA_MIN))
-    alpha = jnp.where(skip, bf(0), alpha)
+    # v5e has NO bf16 vector compares ("target does not support this
+    # comparison"): every mask here widens its operand to f32 first.
+    # Probed on-chip: 32-bit masks select over bf16 values fine, so the
+    # wheres stay bf16 — only the 3 compare operands pay a (P,G) cast.
+    a32 = alpha.astype(jnp.float32)
+    skip = (power.astype(jnp.float32) > 0.0) | (a32 < ALPHA_MIN)
+    a32 = jnp.where(skip, 0.0, a32)
+    alpha = a32.astype(bf)
 
-    s = jnp.log1p(-alpha)  # (P,G) bf16
+    # log1p must run f32 too (bf16 log1p does not legalize on v5e); the
+    # f32 alpha is already in hand from the compare widen.
+    s = jnp.log1p(-a32).astype(bf)  # (P,G) bf16
     # Single-pass bf16 scan (the hi/lo split exists to recover f32-ish
     # accuracy — pointless when the operand is already bf16).
     excl = _scan_dot_fast(s, _tri_strict_upper())  # (P,G) f32
 
     T_prev = jnp.exp((logT + excl).astype(bf))  # (P,G) bf16
     test_T = T_prev * (bf(1) - alpha)
-    done_incl = done | (test_T < bf(T_EPS))  # see _chunk_quantities note
+    # The carried done is folded ARITHMETICALLY (done pixels zero their
+    # test_T, which trivially passes the threshold) instead of a
+    # (P,1)|(P,G) mask OR: Mosaic's inference relayouts the (P,G) lt
+    # mask to the (P,1) operand's lane-replicated layout, which cannot
+    # legalize ("non-singleton dimension replicated in destination").
+    done_incl = (test_T.astype(jnp.float32) * (1.0 - done)) < T_EPS
     w = jnp.where(done_incl, bf(0), alpha * T_prev)
     s_live = jnp.where(done_incl, bf(0), s)
     return alpha, T_prev, done_incl, w, s_live
@@ -313,7 +329,7 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
             c, logT, done, _ = state
             if "noexit" in _ABLATE:  # measurement only: no early exit
                 return c < nchunks
-            return (c < nchunks) & ~jnp.all(done)
+            return (c < nchunks) & (jnp.min(done) < 0.5)
 
         def body(state):
             c, logT, done, acc = state
@@ -371,13 +387,24 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
             else:
                 s_sum = jnp.sum(s_live, axis=1, keepdims=True)
             logT = logT + s_sum
-            done = done | done_incl[:, G - 1:G]
+            # done_incl is monotone along the chunk, so its OR over lanes
+            # equals its last lane — but the carry-out MUST be a float
+            # lane REDUCE, not a lane slice or an i1 vector: Mosaic
+            # cannot legalize an scf.yield whose vreg layout differs from
+            # the loop carry's splat init, and neither offset-layout
+            # slices nor mask (i1) relayouts legalize (both failed on
+            # real TPU; f32 {0,*} vs splat does). Hence the f32 done
+            # carry with in-chunk `> 0.5` / `min < 0.5` tests at (P,1)
+            # cost. (Both chains produce 32-bit masks — v5e has no bf16
+            # compares — so the f32 reduce is layout-consistent.)
+            done = jnp.max(done_incl.astype(jnp.float32), axis=1,
+                           keepdims=True)
             return c + 1, logT, done, acc
 
         init = (
             jnp.int32(0),
             jnp.zeros((P, 1), jnp.float32),
-            jnp.zeros((P, 1), jnp.bool_),
+            jnp.zeros((P, 1), jnp.float32),  # done (f32: see body note)
             jnp.zeros((P, NROWS), jnp.float32),
         )
         c_final, logT, done, acc = jax.lax.while_loop(cond, body, init)
@@ -457,7 +484,7 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
             c, logT, done, prefix = state
             if "noexit" in _ABLATE:  # measurement only: no early exit
                 return c < nchunks
-            return (c < nchunks) & ~jnp.all(done)
+            return (c < nchunks) & (jnp.min(done) < 0.5)
 
         def body(state):
             c, logT, done, prefix = state
@@ -508,14 +535,16 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
                 prefix_incl = prefix + _scan_dot(qw, _tri_incl_upper())
                 alpha32 = alpha
                 qT = q * T_prev
-            live = w > 0.0
+            # Compares on f32 operands only (v5e: no bf16 compares); in
+            # fast mode w/opa are bf16 and alpha32 is the f32 widen.
+            live = w.astype(jnp.float32) > 0.0 if fast else w > 0.0
             one_m = 1.0 - alpha32
 
-            opa = data[R_OPA:R_OPA + 1, :]
+            opa = data[R_OPA:R_OPA + 1, :].astype(jnp.float32)
             # alpha = min(0.99, opa*exp(power)); clamp kills the grad.
             # dalpha is only consumed through dpow — fold its live-mask
             # into the single where here (one (P,G) select, not two).
-            unclamped = (alpha < ALPHA_MAX) & live
+            unclamped = (alpha32 < ALPHA_MAX) & live
             dpow = jnp.where(
                 unclamped,
                 (qT - (s_total - prefix_incl) / one_m) * alpha32,
@@ -581,13 +610,16 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
             else:
                 logT = logT + jnp.sum(s_live, axis=1, keepdims=True)
                 prefix = prefix + jnp.sum(qw, axis=1, keepdims=True)
-            done = done | done_incl[:, G - 1:G]
+            # Float lane reduce, not a lane slice / i1 carry: see the
+            # forward kernel's Mosaic scf.yield layout note.
+            done = jnp.max(done_incl.astype(jnp.float32), axis=1,
+                           keepdims=True)
             return c + 1, logT, done, prefix
 
         init = (
             jnp.int32(0),
             jnp.zeros((P, 1), jnp.float32),
-            jnp.zeros((P, 1), jnp.bool_),
+            jnp.zeros((P, 1), jnp.float32),  # done (f32: see fwd note)
             jnp.zeros((P, 1), jnp.float32),
         )
         c_final, _logT, _done, _prefix = jax.lax.while_loop(cond, body, init)

@@ -13,15 +13,19 @@ def enable(path: str = None) -> None:
 
         repo = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
-        # Forced-CPU runs get NO persistent cache (unless the caller
-        # overrides): CPU entries are AOT-compiled for the current host's
-        # CPU features, and deserializing one on a different host
-        # generation ABORTS the process (machine-feature mismatch, e.g.
-        # 'prefer-no-scatter'). CPU compiles are seconds; the cache
-        # exists for the 30-300s TPU tunnel compiles.
-        path = path or os.environ.get("WAST3D_JAX_CACHE")
-        if path is None and os.environ.get("WAST3D_FORCE_CPU"):
+        # CPU runs get NO persistent cache, ever — not even a private
+        # temp dir: deserializing a foreign-host CPU entry ABORTS the
+        # process (machine-feature mismatch, e.g. 'prefer-no-scatter'),
+        # and SERIALIZING a CPU executable segfaults outright on this
+        # host generation (observed under the test harness). CPU
+        # compiles are seconds; the cache exists for the 30-300s TPU
+        # tunnel compiles.
+        if os.environ.get("WAST3D_FORCE_CPU"):
             return
+        if os.environ.get("JAX_PLATFORMS", "").strip().lower().startswith(
+                "cpu"):
+            return
+        path = path or os.environ.get("WAST3D_JAX_CACHE")
         jax.config.update(
             "jax_compilation_cache_dir",
             path or os.path.join(repo, ".jax_cache"),
