@@ -202,8 +202,14 @@ def main():
                          "(quality-gates the approximate mode)")
     ap.add_argument("--out", default="runs/qgate")
     ap.add_argument("--data", default=None, help="reuse an existing dataset")
+    ap.add_argument("--log-every", type=int, default=500)
+    ap.add_argument("--no-cache", action="store_true",
+                    help="skip the persistent compile cache")
     args = ap.parse_args()
-    _enable_cache()
+    if not args.no_cache:
+        _enable_cache()
+    elif os.environ.get("WAST3D_FORCE_CPU"):
+        _enable_cache()
 
     import jax.numpy as jnp
 
@@ -242,7 +248,8 @@ def main():
     trainer = train_scene(
         source_path=data, model_path=model, iterations=args.iters,
         eval_split=True, save_iterations=[args.iters],
-        opt_cfg=opt, settings=settings, quiet=True, log_every=500,
+        opt_cfg=opt, settings=settings, quiet=True,
+        log_every=args.log_every,
     )
     train_wall = time.time() - t_train0
     print(f"trained {args.iters} iters ({time.time() - t0:.0f}s), "

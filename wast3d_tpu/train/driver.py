@@ -108,6 +108,10 @@ def train_scene(
         sphere_cfg=sphere_cfg, seed=seed, white_background=white_background,
         gui=gui, jitter=jitter,
     )
+    # Stream schedule events (losses, capacity growth) to log.jsonl as
+    # they happen — long runs are otherwise opaque until a milestone.
+    trainer.history_sink = lambda e: (
+        log_f.write(json.dumps(e) + "\n"), log_f.flush())
 
     bg = trainer.bg_color
     render_j = jax.jit(

@@ -148,7 +148,14 @@ class Trainer:
         gui=None,
     ):
         self.state = state
-        self.cameras = cameras
+        # Pin GT images on device once: feeding host numpy GT into the
+        # jitted step re-transfers W*H*3*4 bytes every iteration (7.7 MB
+        # at 800^2) — ruinous over the axon tunnel and wasted PCIe on a
+        # real host. ~60 views fit HBM easily (460 MB at 800^2).
+        self.cameras = [
+            (cam, None if gt is None else jax.device_put(jnp.asarray(gt)))
+            for cam, gt in cameras
+        ]
         self.opt_cfg = opt_cfg
         self.settings = settings
         self.bg_color = (

@@ -21,6 +21,8 @@ The driver object contract (duck-typed; both Trainers satisfy it):
 
 from __future__ import annotations
 
+import time
+
 import jax
 import numpy as np
 
@@ -80,6 +82,13 @@ def overflow_growth_update(settings, aux: dict):
     return upd or None
 
 
+def _log(tr, entry):
+    tr.history.append(entry)
+    sink = getattr(tr, "history_sink", None)
+    if sink is not None:
+        sink(entry)
+
+
 def run_schedule(tr, iterations: int, log_every: int = 0):
     """Drive `iterations` steps of the reference training schedule on a
     Trainer-like object (see module docstring for the contract)."""
@@ -104,7 +113,7 @@ def run_schedule(tr, iterations: int, log_every: int = 0):
                 # grow the knob that tripped.
                 upd = overflow_growth_update(tr.settings, aux)
                 if upd:
-                    tr.history.append(
+                    _log(tr,
                         {"iter": it, "event": "raster_capacity_grow", **upd}
                     )
                     tr.settings = tr.settings._replace(**upd)
@@ -127,7 +136,7 @@ def run_schedule(tr, iterations: int, log_every: int = 0):
                     )
                     if int(np.asarray(dropped)) == 0:
                         break
-                    tr.history.append(
+                    _log(tr,
                         {"iter": it, "event": "capacity_grow_retry",
                          "dropped": int(np.asarray(dropped))}
                     )
@@ -143,8 +152,8 @@ def run_schedule(tr, iterations: int, log_every: int = 0):
                 )
                 tr.state = tr.state._replace(scene=scene, opt_state=opt)
         if log_every and it % log_every == 0:
-            tr.history.append(
+            _log(tr,
                 {"iter": it, "loss": float(aux["loss"]),
-                 "n": int(aux["num_active"])}
+                 "n": int(aux["num_active"]), "t": time.time()}
             )
     return tr.state
