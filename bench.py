@@ -303,9 +303,7 @@ def _bench_ladder(iters=5):
     four_m = _bench_4m(iters=3)
     out.update(four_m)
     trained = _bench_trained_scene(iters=max(10, iters))
-    if trained is not None:
-        out["mpix_trained_27k_400"] = trained[0]
-        out["mpix_trained_27k_400_batch8"] = trained[1]
+    out.update(trained)
     return out
 
 
@@ -382,17 +380,35 @@ def _bench_4m(iters=3):
 
 
 def _bench_trained_scene(iters=10):
-    """Render the committed quality-gate-trained scene (real radius /
-    opacity / anisotropy distributions — where the tight tile footprints
-    pay, unlike the uniform synthetic scene). Returns (single-view MPix/s,
-    batch-8 MPix/s) or None. The batched number is the serving path
-    (eval/render_sets.render_batch: 8 views per dispatch)."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "runs/qgate/model/point_cloud/iteration_7000/point_cloud.ply",
+    """Render the best available quality-gate-trained scene (real radius
+    / opacity / anisotropy distributions — where the tight tile
+    footprints pay, unlike the uniform synthetic scene). Returns a dict
+    of mpix_trained_* metrics ({} when no trained PLY exists — and says
+    so on stderr rather than vanishing silently, the r3 failure mode).
+    The batch number is the serving path (eval/render_sets.render_batch:
+    8 views per dispatch)."""
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    # Prefer the most-trained, highest-res checkpoint available. All
+    # qgate scenes share the same synthetic generator (origin-centred,
+    # radius-4 camera orbit), so one camera convention fits all.
+    candidates = sorted(
+        glob.glob(os.path.join(
+            repo, "runs/qgate*/model/point_cloud/iteration_*/point_cloud.ply")),
+        key=lambda p: (int(p.rsplit("iteration_", 1)[1].split("/")[0]),
+                       os.path.getsize(p)),
+        reverse=True,
     )
-    if not os.path.exists(path):
-        return None
+    if not candidates:
+        print("# trained-scene bench skipped: no qgate PLY on disk",
+              file=sys.stderr)
+        return {}
+    path = candidates[0]
+    gate_dir = path.split("/model/")[0]
+    res = 800 if "800" in os.path.basename(gate_dir) else 400
+    it = int(path.rsplit("iteration_", 1)[1].split("/")[0])
+
     import jax
     import jax.numpy as jnp
 
@@ -401,15 +417,29 @@ def _bench_trained_scene(iters=10):
     from wast3d_tpu.scene import ply as ply_mod
 
     scene = ply_mod.load_ply(path)
+    n = scene.xyz.shape[0]
     cam = look_at_camera(eye=[0, 0, -4], target=[0, 0, 0], up=[0, -1, 0],
-                         fovx=0.9, fovy=0.9, width=400, height=400)
-    settings = api.RasterizeSettings(renderer="pallas", dup_capacity=1 << 18)
-
-    @jax.jit
-    def fwd(scene, bg):
-        return api.render(cam, scene, bg, settings=settings)["render"]
-
+                         fovx=0.9, fovy=0.9, width=res, height=res)
     bg = jnp.zeros(3)
+    for cap_mult in (4, 6, 10):
+        settings = api.RasterizeSettings(
+            renderer="pallas", dup_capacity=cap_mult * n, chunk=32)
+
+        @jax.jit
+        def fwd(scene, bg, settings=settings):
+            return api.render(cam, scene, bg, settings=settings)["render"]
+
+        @jax.jit
+        def fwd_ovf(scene, bg, settings=settings):
+            return api.render(cam, scene, bg, settings=settings)["overflow"]
+
+        if not bool(fwd_ovf(scene, bg)):
+            break
+        print(f"# trained bench: overflow at {cap_mult}N, growing",
+              file=sys.stderr)
+    else:
+        raise AssertionError("trained-scene bench overflowed at 10x")
+
     out = fwd(scene, bg)
     jax.block_until_ready(out)
     # Pipelined (unchained) timing: at this frame size the tunnel's
@@ -420,7 +450,7 @@ def _bench_trained_scene(iters=10):
     outs = [fwd(scene, bg) for _ in range(iters)]
     jax.block_until_ready(outs)
     single = round(
-        (400 * 400 / 1e6) / ((time.perf_counter() - t0) / iters), 2
+        (res * res / 1e6) / ((time.perf_counter() - t0) / iters), 2
     )
 
     # Camera-batched serving path: 8 jittered-orbit views per dispatch.
@@ -429,7 +459,7 @@ def _bench_trained_scene(iters=10):
     cams = [
         look_at_camera(
             eye=[4 * np.sin(a), 0.2, -4 * np.cos(a)], target=[0, 0, 0],
-            up=[0, -1, 0], fovx=0.9, fovy=0.9, width=400, height=400,
+            up=[0, -1, 0], fovx=0.9, fovy=0.9, width=res, height=res,
         )
         for a in np.linspace(0, 0.6, 8)
     ]
@@ -440,10 +470,36 @@ def _bench_trained_scene(iters=10):
             for _ in range(max(3, iters // 2))]
     jax.block_until_ready(outs)
     batched = round(
-        (8 * 400 * 400 / 1e6)
+        (8 * res * res / 1e6)
         / ((time.perf_counter() - t0) / max(3, iters // 2)), 2
     )
-    return single, batched
+    # Serving tier: fast_chain on the same checkpoint (the mode the
+    # 30k/800^2 fast gate certifies).
+    fast = None
+    try:
+        fsettings = settings._replace(fast_chain=True)
+
+        @jax.jit
+        def fwd_fast(scene, bg):
+            return api.render(cam, scene, bg, settings=fsettings)["render"]
+
+        o = fwd_fast(scene, bg)
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        outs = [fwd_fast(scene, bg) for _ in range(iters)]
+        jax.block_until_ready(outs)
+        fast = round(
+            (res * res / 1e6) / ((time.perf_counter() - t0) / iters), 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"# trained fast-chain bench failed: {e}", file=sys.stderr)
+    out = {
+        f"mpix_trained_{it // 1000}k_{res}": single,
+        f"mpix_trained_{it // 1000}k_{res}_batch8": batched,
+        "trained_n_gaussians": int(n),
+    }
+    if fast is not None:
+        out[f"mpix_trained_{it // 1000}k_{res}_fast"] = fast
+    return out
 
 
 def _bench_sweep_fit(num_styles=2, num_balls=4, patch_pts=2000,

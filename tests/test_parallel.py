@@ -346,6 +346,59 @@ class TestTileShardedRender:
         assert bool(got["overflow"])
 
 
+class TestTileShardedTrain:
+    def test_step_matches_single_device(self):
+        """BASELINE config-4 step (tile-sharded render in the loss) must
+        track the single-device train_step: same loss, same updated
+        params, same densification stats."""
+        import jax.numpy as jnp
+
+        from tests.test_rasterizer import _cam
+        from tests.test_train import _mini_scene
+        from wast3d_tpu.config import OptimizationConfig
+        from wast3d_tpu.parallel.train_sharded import (
+            init_sharded, make_tile_sharded_train_step)
+        from wast3d_tpu.train import reconstruct as R
+
+        scene = _mini_scene(n=96, cap=128, seed=5)
+        cam = _cam(w=64, h=48, eye=(0.2, -0.1, -5))
+        rng = np.random.default_rng(11)
+        gt = jnp.asarray(rng.uniform(0, 1, (48, 64, 3)), jnp.float32)
+        cfg = OptimizationConfig()
+        settings = RasterizeSettings(
+            renderer="pallas", dup_capacity=1 << 13, phase_a_tiles=16,
+            pallas_interpret=True, grad_reduce="segsum",
+        )
+        bg = jnp.zeros(3)
+        key = jax.random.PRNGKey(0)
+
+        s_ref = R.init_train_state(scene, cfg, 1.0)
+        for _ in range(2):
+            s_ref, aux_ref = R.train_step(
+                s_ref, cam, gt, bg, key, opt_cfg=cfg, settings=settings,
+                width=64, height=48, jitter=False)
+
+        mesh = make_mesh(8, data=1)
+        step = make_tile_sharded_train_step(mesh, cfg, settings)
+        with mesh:
+            s_sh = init_sharded(scene, cfg, mesh)
+            for _ in range(2):
+                s_sh, aux_sh = step(s_sh, cam, gt, bg)
+
+        np.testing.assert_allclose(
+            float(aux_sh["loss"]), float(aux_ref["loss"]),
+            rtol=2e-4, atol=1e-6)
+        assert not bool(aux_sh["overflow"])
+        np.testing.assert_allclose(
+            np.asarray(s_sh.scene.xyz), np.asarray(s_ref.scene.xyz),
+            rtol=5e-4, atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(s_sh.stats.xyz_gradient_accum),
+            np.asarray(s_ref.stats.xyz_gradient_accum), rtol=5e-4, atol=1e-7)
+        np.testing.assert_array_equal(
+            np.asarray(s_sh.stats.denom), np.asarray(s_ref.stats.denom))
+
+
 class TestMultihost:
     def test_single_process_noop_and_mesh(self):
         """init_distributed in a single-process CPU run must be a no-op

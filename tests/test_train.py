@@ -280,6 +280,38 @@ class TestEndToEnd:
         assert int(trainer.state.step) == 200
         assert np.isfinite(np.asarray(s_end.xyz[np.asarray(s_end.mask)])).all()
 
+    def test_data_device_cpu_trains(self):
+        """data_device='cpu' (the reference's escape hatch for captures
+        too large to pin in HBM) keeps GT on host as numpy and still
+        trains identically — the jitted step just re-transfers per
+        iteration."""
+        target_scene = _mini_scene(n=20, seed=1, cap=64)
+        settings = raster_api.RasterizeSettings(
+            renderer="tiled", dup_capacity=1 << 11, max_per_tile=64, chunk=16
+        )
+        cam = cam_mod.look_at_camera(
+            eye=[0, 0, -4], target=[0, 0, 0], up=[0, -1, 0],
+            fovx=0.9, fovy=0.9, width=32, height=32, uid=0,
+        )
+        gt = raster_api.render(cam, target_scene, jnp.zeros(3),
+                               settings=settings)["render"]
+        cfg = OptimizationConfig(densify_from_iter=10_000)
+        start = _mini_scene(n=20, seed=2, cap=64)
+
+        losses = {}
+        for dd in ("tpu", "cpu"):
+            trainer = R.Trainer(
+                R.init_train_state(start, cfg, 1.0), [(cam, gt)],
+                opt_cfg=cfg, settings=settings, cameras_extent=4.0,
+                jitter=False, data_device=dd,
+            )
+            if dd == "cpu":
+                assert isinstance(trainer.cameras[0][1], np.ndarray)
+            trainer.run(5)
+            losses[dd] = [h["loss"] for h in trainer.history if "loss" in h]
+        np.testing.assert_allclose(losses["cpu"], losses["tpu"],
+                                   rtol=1e-6, atol=1e-8)
+
     def test_sphere_training_shrinks_anisotropy(self):
         scene = _mini_scene(n=30, seed=3, cap=64)
         cam = cam_mod.look_at_camera(

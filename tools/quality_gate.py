@@ -206,9 +206,12 @@ def main():
     ap.add_argument("--no-cache", action="store_true",
                     help="skip the persistent compile cache")
     args = ap.parse_args()
-    if not args.no_cache:
-        _enable_cache()
-    elif os.environ.get("WAST3D_FORCE_CPU"):
+    if args.no_cache:
+        # Authoritative: utils/cache.enable honors this env var, so the
+        # module-level _enable_cache() in train.driver (imported below)
+        # cannot silently re-enable the cache (round-3 advisor finding).
+        os.environ["WAST3D_NO_CACHE"] = "1"
+    else:
         _enable_cache()
 
     import jax.numpy as jnp

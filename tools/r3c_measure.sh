@@ -7,11 +7,16 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 
+# Banners go to stderr (stdout stays clean for JSON redirects) and the
+# command's status is captured BEFORE the trailing banner so `|| exit 1`
+# guards actually fire (round-3 advisor findings).
 step() {
   local name=$1 tmo=$2; shift 2
-  echo "=== [$name] start $(date -u +%H:%M:%S) ==="
+  echo "=== [$name] start $(date -u +%H:%M:%S) ===" >&2
   timeout "$tmo" "$@"
-  echo "=== [$name] exit=$? $(date -u +%H:%M:%S) ==="
+  local rc=$?
+  echo "=== [$name] exit=$rc $(date -u +%H:%M:%S) ===" >&2
+  return $rc
 }
 
 step probe 120 python -c "import jax; print(jax.devices())" || exit 1
@@ -25,7 +30,8 @@ step perf_nocull 1500 python tools/perf_step.py \
   --modes segsum_sortpacked --iters 30 --fwd --cap-mult 5 --no-tile-cull
 
 # 2. 16k descriptor build (VERDICT item 4 target: < 15 s/patch).
-step descbuild 1500 python tools/perf_descbuild.py | tee runs/descbuild_r3.json
+step descbuild 1500 python tools/perf_descbuild.py > runs/descbuild_r3.json
+cat runs/descbuild_r3.json
 
 # 3. Quantitative stylization gate (1000 Adam steps/ball protocol).
 step stylegate 3000 python tools/stylize_gate.py --content-n 200000 \

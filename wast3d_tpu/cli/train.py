@@ -81,6 +81,7 @@ def main() -> None:
             seed=args.seed,
             quiet=args.quiet,
             gui=gui,
+            data_device=model.data_device,
         )
     finally:
         if gui:

@@ -7,6 +7,12 @@ degrees 0..3 are used by the renderer (degree 4 terms exist only in the
 python util and are unused by the pipeline); the renderer adds +0.5 and
 clamps to >= 0 after basis evaluation (`forward.cu:63-70`).
 
+Lineage: the hardcoded real-SH polynomial (constants and the nested
+per-degree basis) originates in the BSD-licensed PlenOctree code
+(sxyu/svox, `svox/renderer.py`), which every 3DGS codebase — including
+the reference — carries verbatim. The math is canonical; there is no
+meaningfully different way to write it.
+
 TPU notes: evaluation is a fully-vectorized polynomial over [N, 3]
 directions — pure VPU work that XLA fuses into the surrounding
 preprocess. The degree is a static Python int so each active degree

@@ -57,6 +57,7 @@ def padded_grid(width: int, height: int, num_shards: int):
 
 def _shard_render(
     xyz, features, scaling, rotation, opacity, mask, cam_arrays, bg_color,
+    m2d_offset,
     *, num_shards, width, height, sh_degree, settings: RasterizeSettings,
 ):
     """Per-shard body (runs under shard_map over 'model')."""
@@ -78,6 +79,10 @@ def _shard_render(
         rotations=rotation / jnp.linalg.norm(rotation, axis=-1, keepdims=True),
         mask=mask,
     )
+    # The densification grad tap (api.render's means2d_offset): zeros in
+    # the forward pass, its cotangent is the per-Gaussian screen-space
+    # positional gradient (shard-local rows — no collective).
+    prep = prep._replace(means2d=prep.means2d + m2d_offset)
 
     # 1. LOCAL binning against the GLOBAL grid. bin_gaussians sorts by
     # (tile, local depth rank); the cross-shard depth merge happens after
@@ -206,12 +211,15 @@ def render_tile_sharded(
     bg_color: jnp.ndarray,
     mesh: Mesh,
     settings: RasterizeSettings = RasterizeSettings(),
+    means2d_offset: Optional[jnp.ndarray] = None,
 ) -> dict:
     """Render with Gaussians sharded over `model` and the image tile-strip
     partitioned across shards. Returns the api.render dict; `render` /
     `depth` / `final_T` come back H-padded to the strip multiple and
     sharded over `model` on axis 0 (crop with [:camera.height] after any
-    sharded loss). `radii` / `visibility_filter` stay model-sharded."""
+    sharded loss). `radii` / `visibility_filter` stay model-sharded.
+    `means2d_offset` ([capacity, 2] zeros, model-sharded) is the
+    screen-space gradient tap, as in api.render."""
     num_shards = mesh.shape["model"]
     width, height = camera.width, camera.height
     _, grid_y_pad = padded_grid(width, height, num_shards)
@@ -224,18 +232,20 @@ def render_tile_sharded(
         _shard_render, num_shards=num_shards, width=width, height=height,
         sh_degree=int(scene.active_sh_degree), settings=settings,
     )
+    if means2d_offset is None:
+        means2d_offset = jnp.zeros((scene.capacity, 2), jnp.float32)
     shard = P("model")
     rep = P()
     mapped = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(shard, shard, shard, shard, shard, shard, rep, rep),
+        in_specs=(shard, shard, shard, shard, shard, shard, rep, rep, shard),
         out_specs=(shard, shard, shard, shard, rep, rep, rep, rep),
         check_vma=False,
     )
     strip, depth, tfin, radii, overflow, ovf_emit, ovf_rect, ovf_route = (
         mapped(
             scene.xyz, scene.get_features, scene.scaling, scene.rotation,
-            scene.opacity, scene.mask, cam_arrays, bg_color,
+            scene.opacity, scene.mask, cam_arrays, bg_color, means2d_offset,
         )
     )
     return {

@@ -129,6 +129,78 @@ def make_sharded_train_step(
     return train_step
 
 
+def make_tile_sharded_train_step(
+    mesh: Mesh,
+    opt_cfg: OptimizationConfig,
+    settings: raster_api.RasterizeSettings,
+    spatial_lr_scale: float = 1.0,
+    sphere_cfg: Optional[SphereConfig] = None,
+):
+    """BASELINE config-4 training step: one camera, Gaussians AND the
+    rendered image tile-strip partitioned over `model` via
+    parallel.render_sharded — every stage is O(N/P) or O(dups/P), unlike
+    make_sharded_train_step whose api.render lets XLA all-gather the
+    scene per device. This is the step that scales to 4M splats on a
+    v5p-8 (the workload the reference's single-GPU rasterizer cannot
+    express at all, `rasterizer_impl.cu:198-343`).
+
+    Per-step collectives: ONE duplicate-routing all_to_all (O(dups/P)
+    per link) + its reverse in the backward, image-strip all-gathers for
+    the SSIM window and the psum of the scalar loss — no scene-sized
+    collective anywhere. Gradients, Adam, and densification stats stay
+    row-local on each shard.
+
+    Parity scope: pixel jitter is not threaded through the strip path
+    (bench/serving measure jitter-off; training parity tests pin the
+    single-device step). Returns train_step(state, camera, gt, bg) ->
+    (state, aux)."""
+    opt = make_optimizer(opt_cfg, spatial_lr_scale)
+
+    from wast3d_tpu.parallel.render_sharded import render_tile_sharded
+
+    @jax.jit
+    def train_step(state: R.TrainState, camera, gt, bg_color):
+        scene = state.scene
+        params = scene.params()
+        H, W = gt.shape[0], gt.shape[1]
+        m2d_zero = jnp.zeros((scene.capacity, 2), jnp.float32)
+        m2d_zero = jax.lax.with_sharding_constraint(
+            m2d_zero, NamedSharding(mesh, P("model")))
+
+        def loss_fn(p, m2d):
+            s = scene.with_params(p)
+            out = render_tile_sharded(camera, s, bg_color, mesh, settings,
+                                      means2d_offset=m2d)
+            loss = photometric_loss(out["render"][:H], gt,
+                                    opt_cfg.lambda_dssim)
+            if sphere_cfg is not None:
+                loss = loss + sphere_regularizer(s, sphere_cfg)
+            return loss, out
+
+        (loss, out), (g_params, g_m2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, m2d_zero)
+        step = state.step + 1
+        new_params, new_opt = opt.update(g_params, state.opt_state, params,
+                                         step)
+        new_stats = densify_mod.add_stats(
+            state.stats, g_m2d, out["radii"], out["visibility_filter"], W, H)
+        aux = {
+            "loss": loss,
+            "overflow": out["overflow"],
+            "overflow_emit": out["overflow_emit"],
+            "overflow_rect": out["overflow_rect"],
+            "overflow_route": out["overflow_route"],
+            "num_active": scene.num_active,
+        }
+        return (
+            R.TrainState(scene.with_params(new_params), new_opt, new_stats,
+                         step),
+            aux,
+        )
+
+    return train_step
+
+
 def init_sharded(scene, opt_cfg: OptimizationConfig, mesh: Mesh,
                  spatial_lr_scale: float = 1.0) -> R.TrainState:
     state = R.init_train_state(scene, opt_cfg, spatial_lr_scale)

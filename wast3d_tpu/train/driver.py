@@ -60,6 +60,7 @@ def train_scene(
     log_every: int = 100,
     gui=None,
     jitter: bool = True,
+    data_device: str = "tpu",
 ):
     """Train one scene. Returns the final Trainer (with .state)."""
     save_iterations = sorted(set(save_iterations or [7_000, 30_000]))
@@ -106,7 +107,7 @@ def train_scene(
         state, train_cams, opt_cfg=opt_cfg, settings=settings,
         spatial_lr_scale=cameras_extent, cameras_extent=cameras_extent,
         sphere_cfg=sphere_cfg, seed=seed, white_background=white_background,
-        gui=gui, jitter=jitter,
+        gui=gui, jitter=jitter, data_device=data_device,
     )
     # Stream schedule events (losses, capacity growth) to log.jsonl as
     # they happen — long runs are otherwise opaque until a milestone.
@@ -157,5 +158,9 @@ def train_scene(
         dt = time.time() - t0
         print(f"Training complete: {steps} iters in {dt:.1f}s "
               f"({steps / max(dt, 1e-9):.2f} it/s)")
+    # Unbind the sink BEFORE closing: a returned trainer may keep
+    # training interactively, and a closed-file sink raises at the
+    # first logged event (round-3 advisor finding).
+    trainer.history_sink = None
     log_f.close()
     return trainer

@@ -146,16 +146,26 @@ class Trainer:
         jitter: bool = True,
         grow_threshold: float = 0.75,
         gui=None,
+        data_device: str = "tpu",
     ):
         self.state = state
         # Pin GT images on device once: feeding host numpy GT into the
         # jitted step re-transfers W*H*3*4 bytes every iteration (7.7 MB
         # at 800^2) — ruinous over the axon tunnel and wasted PCIe on a
         # real host. ~60 views fit HBM easily (460 MB at 800^2).
-        self.cameras = [
-            (cam, None if gt is None else jax.device_put(jnp.asarray(gt)))
-            for cam, gt in cameras
-        ]
+        # data_device="cpu" keeps GT on host (the reference's
+        # `--data_device cpu` escape hatch for captures with hundreds of
+        # high-res views that would otherwise pin many GB of HBM).
+        if data_device == "cpu":
+            self.cameras = [
+                (cam, None if gt is None else np.asarray(gt))
+                for cam, gt in cameras
+            ]
+        else:
+            self.cameras = [
+                (cam, None if gt is None else jax.device_put(jnp.asarray(gt)))
+                for cam, gt in cameras
+            ]
         self.opt_cfg = opt_cfg
         self.settings = settings
         self.bg_color = (

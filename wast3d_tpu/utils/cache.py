@@ -20,6 +20,11 @@ def enable(path: str = None) -> None:
         # host generation (observed under the test harness). CPU
         # compiles are seconds; the cache exists for the 30-300s TPU
         # tunnel compiles.
+        # WAST3D_NO_CACHE: authoritative opt-out (e.g. quality_gate
+        # --no-cache A/B compile-time measurements) — module-level
+        # enable() calls in drivers must not silently re-enable.
+        if os.environ.get("WAST3D_NO_CACHE"):
+            return
         if os.environ.get("WAST3D_FORCE_CPU"):
             return
         if os.environ.get("JAX_PLATFORMS", "").strip().lower().startswith(
