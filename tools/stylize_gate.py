@@ -62,22 +62,37 @@ def make_content(n, seed=0):
     return bench_mod._build(n, cap=n)
 
 
-def make_style_patch(m, seed=1):
+def make_style_patch(m, seed=1, edge_scale=None):
     """Synthetic 'crystal lattice' style patch: clustered rods with a
-    distinctive, highly non-uniform NN-edge-length distribution."""
+    distinctive, highly non-uniform NN-edge-length distribution.
+
+    edge_scale: when given, rescale the patch so its median 1-NN edge
+    length equals it. The reference pipeline never faces a scale
+    mismatch — style clusters and content scenes come from 3DGS
+    reconstructions in the SAME metric space, so style edge lengths are
+    commensurate with the content's point spacing (notebook 11 cell 10
+    loads clusters of a scene reconstructed like the content), and a
+    style CLUSTER is a volumetric blob whose diameter/edge ratio is
+    ~m^(1/3) (a K-means cell of a uniformly reconstructed scene). The
+    r3 synthetic (rods; diameter/edge ~300) broke both properties: with
+    edges 10x finer than domain spacing the domain-attachment floor
+    dwarfs the descriptor terms and the optimum ignores style structure.
+    This patch is a jittered cubic crystal with vacancies — volumetric
+    (diameter/edge ~= m^(1/3)*sqrt(3) ~= 22 at m=2048) with a sharply
+    peaked NN-edge-length distribution, a measurable style signature the
+    content's irregular spacing lacks."""
     from wast3d_tpu.stylize.cluster import StylePatch
 
     rng = np.random.default_rng(seed)
-    k = max(8, m // 64)  # rods
-    centers = rng.uniform(-1, 1, (k, 3))
-    dirs = rng.normal(size=(k, 3))
-    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    per = m // k
-    pts = []
-    for c, d in zip(centers, dirs):
-        t = np.linspace(0, 0.6, per)[:, None]
-        pts.append(c + t * d + rng.normal(size=(per, 3)) * 0.015)
-    pts = np.concatenate(pts)[:m].astype(np.float32) * 0.25
+    side = int(np.ceil(m ** (1 / 3)))
+    i, j, k = np.meshgrid(*[np.arange(side)] * 3, indexing="ij")
+    lat = np.stack([i, j, k], -1).reshape(-1, 3).astype(np.float32)
+    lat = lat[rng.permutation(len(lat))[:m]]  # vacancies
+    pts = lat + rng.normal(size=lat.shape).astype(np.float32) * 0.08
+    if edge_scale is not None:
+        med = np.median(local_edge_lengths(pts, k=1))
+        pts *= float(edge_scale / max(med, 1e-12))
+    pts = pts.astype(np.float32)
     return StylePatch({
         "_xyz": pts,
         "_features_dc": rng.uniform(0.2, 0.8, (m, 1, 3)).astype(np.float32),
@@ -113,6 +128,10 @@ def main():
     ap.add_argument("--fit-steps", type=int, default=1000)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--devices", type=int, default=1)
+    ap.add_argument("--edge-ratio", type=float, default=1.5,
+                    help="style median edge length as a multiple of the "
+                         "domain's median point spacing (the reference's "
+                         "same-metric-space regime; see make_style_patch)")
     ap.add_argument("--out", default="runs/stylegate")
     args = ap.parse_args()
     _enable_cache()
@@ -126,7 +145,6 @@ def main():
 
     t0 = time.time()
     content = make_content(args.content_n)
-    patch = make_style_patch(args.patch_m)
     cfg = StylizeConfig(fit_steps=args.fit_steps)
     if os.environ.get("WAST3D_FORCE_CPU"):
         cfg = StylizeConfig(fit_steps=args.fit_steps, pallas_interpret=True,
@@ -145,6 +163,14 @@ def main():
         content_xyz, num_clusters=cfg.num_content_clusters,
         q=cfg.outlier_quantile, kth_neighbor=cfg.outlier_knn, seed=0)
     domain = content_xyz[domain_idx]
+    # Scale the synthetic style to the domain's metric (see
+    # make_style_patch): median style edge = edge_ratio x median domain
+    # spacing, as when both scenes come from one reconstruction space.
+    dsub = domain[np.random.default_rng(3).choice(
+        len(domain), min(10_000, len(domain)), replace=False)]
+    domain_spacing = float(np.median(local_edge_lengths(dsub, k=1)))
+    patch = make_style_patch(
+        args.patch_m, edge_scale=args.edge_ratio * domain_spacing)
     cpatch = clean_style_patch(patch)
     t_prep = time.time() - t_prep0
 
@@ -207,6 +233,8 @@ def main():
         "edge_w1_reduction_x": round(
             float(np.mean(w1_init) / max(np.mean(w1_final), 1e-12)), 1),
         "style_edge_median": round(float(np.median(style_edges)), 5),
+        "domain_spacing_median": round(domain_spacing, 5),
+        "edge_ratio": args.edge_ratio,
         "domain_coverage_frac": round(covered, 3),
         "prepare_s": round(t_prep, 1), "fit_s": round(t_fit, 1),
         "wall_s": round(time.time() - t0, 1),
