@@ -144,24 +144,31 @@ def main():
     # default, reported in aux only. Guarded: an aux-mode failure must
     # never take down the headline metric.
     mpix_fast = None
-    try:
-        fast_settings = settings._replace(fast_chain=True)
+    mpix_serving = None
+    for name, kw in (("fast_chain", {"fast_chain": True}),
+                     ("serving", {"fast_chain": True, "pack_gather": True})):
+        try:
+            fast_settings = settings._replace(**kw)
 
-        @jax.jit
-        def fwd_fast(scene, camera, bg):
-            return api.render(
-                camera, scene, bg, settings=fast_settings)["render"]
+            @jax.jit
+            def fwd_fast(scene, camera, bg, fast_settings=fast_settings):
+                return api.render(
+                    camera, scene, bg, settings=fast_settings)["render"]
 
-        out_f = fwd_fast(scene, cam, bg)
-        jax.block_until_ready(out_f)
-        t0 = time.perf_counter()
-        for _ in range(iters):
             out_f = fwd_fast(scene, cam, bg)
-        jax.block_until_ready(out_f)
-        mpix_fast = round(
-            (w * h / 1e6) / ((time.perf_counter() - t0) / iters), 2)
-    except Exception as e:  # pragma: no cover
-        print(f"fast_chain aux bench failed: {e!r}", file=sys.stderr)
+            jax.block_until_ready(out_f)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out_f = fwd_fast(scene, cam, bg)
+            jax.block_until_ready(out_f)
+            val = round(
+                (w * h / 1e6) / ((time.perf_counter() - t0) / iters), 2)
+            if name == "fast_chain":
+                mpix_fast = val
+            else:
+                mpix_serving = val
+        except Exception as e:  # pragma: no cover
+            print(f"{name} aux bench failed: {e!r}", file=sys.stderr)
 
     # Secondary: full differentiable step time (render+loss+grad+Adam).
     from wast3d_tpu.config import OptimizationConfig
@@ -214,6 +221,7 @@ def main():
                 "vs_baseline": round(mpix_s / baseline_mpix, 3),
                 "aux": {
                     "mpix_fast_chain": mpix_fast,
+                    "mpix_serving": mpix_serving,
                     "train_step_per_s": round(step_s, 3),
                     "stylize_ball_steps_per_s": round(styl_steps_s, 2),
                     "device": str(jax.devices()[0]),
@@ -477,7 +485,7 @@ def _bench_trained_scene(iters=10):
     # 30k/800^2 fast gate certifies).
     fast = None
     try:
-        fsettings = settings._replace(fast_chain=True)
+        fsettings = settings._replace(fast_chain=True, pack_gather=True)
 
         @jax.jit
         def fwd_fast(scene, bg):

@@ -31,3 +31,30 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 assert jax.default_backend() == "cpu" and len(jax.devices()) == 8
+
+
+# --- test tiers -------------------------------------------------------------
+# slow_tests.txt lists node ids measured at >=4s call time on one CPU
+# (generated from `pytest tests/ --durations=0`; see the file header).
+# They get @pytest.mark.slow so `pytest -m "not slow"` is a ~2-3 min
+# fast tier; the unfiltered suite remains the pre-merge bar. Tests added
+# after the last measurement default to the fast tier until re-measured.
+import pytest  # noqa: E402
+
+_SLOW_FILE = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        with open(_SLOW_FILE) as f:
+            slow = {
+                ln.strip() for ln in f
+                if ln.strip() and not ln.startswith("#")
+            }
+    except OSError:
+        return
+    for item in items:
+        nodeid = item.nodeid.split("::", 1)
+        key = os.path.basename(nodeid[0]) + "::" + nodeid[1] if len(nodeid) > 1 else item.nodeid
+        if key in slow:
+            item.add_marker(pytest.mark.slow)

@@ -117,6 +117,37 @@ class TestForwardParity:
         assert d.max() < 0.15, d.max()
         assert d.mean() < 5e-3, d.mean()
 
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_pack_gather_matches_fast_chain(self, seed):
+        """pack_gather (serving gather of split-bf16 uint32 pairs) must
+        stay within the fast tier's own error class of the plain
+        fast_chain render: the only numeric difference is WHERE the bf16
+        quantization of the means happens (hi+lo split before the gather
+        vs one cast after recentring) — both subpixel."""
+        cam = _cam(w=80, h=48)
+        s = _random_scene(n=120, seed=seed)
+        fast = PALLAS._replace(fast_chain=True)
+        packed = PALLAS._replace(fast_chain=True, pack_gather=True)
+        f = api.render(cam, s, WHITE, settings=fast)
+        g = api.render(cam, s, WHITE, settings=packed)
+        assert not bool(g["overflow"])
+        np.testing.assert_allclose(
+            np.asarray(g["render"]), np.asarray(f["render"]), atol=1.5e-2)
+        np.testing.assert_allclose(
+            np.asarray(g["final_T"]), np.asarray(f["final_T"]), atol=1.5e-2)
+        # Depth magnitudes are O(camera distance); alpha-weight noise of
+        # the tier (~1%) scales into it, so the bound is relative.
+        np.testing.assert_allclose(
+            np.asarray(g["depth"]), np.asarray(f["depth"]),
+            rtol=3e-2, atol=3e-2)
+
+    def test_pack_gather_requires_fast_chain(self):
+        cam = _cam(w=32, h=32)
+        s = _random_scene(n=16, seed=0)
+        with pytest.raises(ValueError, match="fast_chain"):
+            api.render(cam, s, WHITE,
+                       settings=PALLAS._replace(pack_gather=True))
+
     def test_fast_chain_saturating_scene(self):
         """Early-exit + clamp paths under fast_chain: stacked opaque
         splats (alpha clamps at 0.99, every pixel saturates)."""

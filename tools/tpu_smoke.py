@@ -61,6 +61,22 @@ def main() -> int:
             )
             if not ok:
                 return 1
+
+    # Serving tier: pack_gather (u32 split-bf16 gather; forward-only).
+    st = api.RasterizeSettings(
+        renderer="pallas", dup_capacity=4 * n, chunk=32,
+        fast_chain=True, pack_gather=True,
+    )
+
+    @jax.jit
+    def fwd(scene, cam, bg):
+        return api.render(cam, scene, bg, settings=st)["render"]
+
+    img = fwd(scene, cam, bg)
+    ok = bool(jnp.isfinite(jnp.sum(img)))
+    print(f"pack_gather serving fwd ok={ok}", flush=True)
+    if not ok:
+        return 1
     print("TPU_SMOKE_OK", flush=True)
     return 0
 

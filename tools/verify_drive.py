@@ -114,5 +114,21 @@ def main():
     print("VERIFY OK")
 
 
+def run_fast_tests():
+    """CPU fast test tier (pytest -m 'not slow', ~2-3 min): the quick
+    regression leg of /verify. Runs in a subprocess so the CPU config
+    (tests/conftest.py) cannot contaminate this process's TPU state."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "-m", "not slow",
+         "-p", "no:cacheprovider"],
+        cwd=repo,
+    ).returncode
+
+
 if __name__ == "__main__":
+    if "--fast-tests" in sys.argv:
+        raise SystemExit(run_fast_tests())
     main()

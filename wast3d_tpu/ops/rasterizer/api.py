@@ -69,6 +69,13 @@ class RasterizeSettings(NamedTuple):
     # reductions and accumulators stay f32). ~0.3%-class alpha/gradient
     # error vs the f32 chain — NOT bit-comparable; opt in for serving /
     # after quality-gating for training.
+    pack_gather: bool = False  # fast_chain serving-only: per-Gaussian
+    # split-bf16 pack into uint32 pairs BEFORE the K-row gather (24B/row
+    # instead of 40B — the random gather is HBM-latency-bound, r4
+    # anatomy). Means carry hi+lo bf16 halves so tile recentring stays
+    # subpixel (same error class as fast_chain's post-recentre bf16
+    # cast). NOT differentiable (u32 bitcast) — forward/serving only;
+    # requires fast_chain.
     grad_reduce: str = "segsum_sortpacked"  # pallas path per-Gaussian
     # gradient reduction (r3 in-situ step times at 200k/800^2):
     #   "segsum_sortpacked" (default, 53.3 ms/step): rank-major order via
@@ -182,6 +189,7 @@ def render(
             grad_reduce=settings.grad_reduce,
             fast_chain=settings.fast_chain,
             tile_cull=settings.tile_cull,
+            pack_gather=settings.pack_gather,
         )
         color, depth, final_T = out.color, out.depth, out.final_T
         overflow, overflow_emit = out.overflow, out.overflow_emit

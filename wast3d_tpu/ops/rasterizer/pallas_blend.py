@@ -297,8 +297,64 @@ def _chunk_quantities_fast(data, px, py, logT, done, start, end, off):
     return alpha, T_prev, done_incl, w, s_live
 
 
+def _chunk_quantities_fast_quad(data, pix8, logT, done, start, end, off):
+    """`_chunk_quantities_fast` with the power quadratic moved to the MXU
+    (fwd kernel only, jitter-off renders): power(P,G) = pix8 @ C8 where
+    pix8 = [px^2, py^2, px*py, px, py, 1, 0, 0] is per-TILE constant
+    (hoisted out of the chunk loop; EXACT in bf16 — tile-local pixel
+    coords are integers in [0,16) so px^2, px*py <= 225 < 256 are
+    exactly representable) and C8(8,G) carries the per-entry expanded
+    coefficients in split-bf16 (hi+lo, 2 MXU passes — the expansion
+    cancels terms up to ~|2*Ah*mx*px| so a single bf16 pass would leave
+    ~2^-8 * cancellation-magnitude absolute error on power; hi+lo
+    restores ~2^-16). Replaces the dx/dy/power ~9-op (P,G) VPU chain
+    with 2 (P,8)@(8,G) matmuls + O(1,G) coefficient math. Requires
+    integer pixel coords: render paths gate it on sampling_offsets is
+    None."""
+    bf = jnp.bfloat16
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1) + off
+    col_valid = (cols >= start) & (cols < end)  # (1,G)
+
+    mx = data[R_MX:R_MX + 1, :].astype(jnp.float32)  # (1,G)
+    my = data[R_MY:R_MY + 1, :].astype(jnp.float32)
+    Ah = -0.5 * data[R_A:R_A + 1, :].astype(jnp.float32)
+    Ch = -0.5 * data[R_CC:R_CC + 1, :].astype(jnp.float32)
+    Bn = -data[R_B:R_B + 1, :].astype(jnp.float32)
+    opa = jnp.where(col_valid, data[R_OPA:R_OPA + 1, :].astype(bf), bf(0))
+
+    c8 = jnp.concatenate(
+        [Ah, Ch, Bn,
+         -2.0 * Ah * mx - Bn * my,
+         -2.0 * Ch * my - Bn * mx,
+         Ah * mx * mx + Ch * my * my + Bn * mx * my,
+         jnp.zeros_like(mx), jnp.zeros_like(mx)],
+        axis=0,
+    )  # (8,G) f32
+    c_hi, c_lo = _split2(c8)
+    power = (
+        jax.lax.dot(pix8, c_hi, preferred_element_type=jnp.float32)
+        + jax.lax.dot(pix8, c_lo, preferred_element_type=jnp.float32)
+    )  # (P,G) f32
+
+    alpha = jnp.minimum(bf(ALPHA_MAX), opa * jnp.exp(power.astype(bf)))
+    a32 = alpha.astype(jnp.float32)
+    skip = (power > 0.0) | (a32 < ALPHA_MIN)
+    a32 = jnp.where(skip, 0.0, a32)
+    alpha = a32.astype(bf)
+
+    s = jnp.log1p(-a32).astype(bf)  # (P,G) bf16
+    excl = _scan_dot_fast(s, _tri_strict_upper())  # (P,G) f32
+
+    T_prev = jnp.exp((logT + excl).astype(bf))  # (P,G) bf16
+    test_T = T_prev * (bf(1) - alpha)
+    done_incl = (test_T.astype(jnp.float32) * (1.0 - done)) < T_EPS
+    w = jnp.where(done_incl, bf(0), alpha * T_prev)
+    s_live = jnp.where(done_incl, bf(0), s)
+    return alpha, T_prev, done_incl, w, s_live
+
+
 def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
-                data_vmem, sem, *, fast=False):
+                data_vmem, sem, *, fast=False, quad=False):
     """Forward blend. Processes TPP tiles per grid program (amortizing
     per-program overhead) with double-buffered chunk DMA: the copy for
     chunk c+1 is in flight while chunk c computes (the CUDA kernel gets
@@ -312,6 +368,15 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
         end = ends_ref[t]
         px = pixf_ref[ti, :, 0:1]  # (P,1)
         py = pixf_ref[ti, :, 1:2]
+        if fast and quad:
+            # Per-tile pixel monomials for the quad-form MXU power
+            # (exact bf16: integer tile-local coords, see
+            # _chunk_quantities_fast_quad). Hoisted out of the chunk loop.
+            one = jnp.ones_like(px)
+            pix8 = jnp.concatenate(
+                [px * px, py * py, px * py, px, py, one,
+                 jnp.zeros_like(px), jnp.zeros_like(px)],
+                axis=1).astype(jnp.bfloat16)  # (P,8)
         astart = (start // G) * G
         nchunks = pl.cdiv(jnp.maximum(end - astart, 0), G)
 
@@ -342,9 +407,14 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
 
             dma(slot, c).wait()
             data = data_vmem[slot]  # (16,G)
-            alpha, T_prev, done_incl, w, s_live = chunk_fn(
-                data, px, py, logT, done, start, end, off
-            )
+            if fast and quad:
+                alpha, T_prev, done_incl, w, s_live = (
+                    _chunk_quantities_fast_quad(
+                        data, pix8, logT, done, start, end, off))
+            else:
+                alpha, T_prev, done_incl, w, s_live = chunk_fn(
+                    data, px, py, logT, done, start, end, off
+                )
             # acc += w @ data^T at 3 bf16 passes (see _split2 doc); in
             # fast mode w is already bf16 (2 passes, data still split).
             if "noacc" in _ABLATE:  # measurement only: ablate acc matmuls
@@ -646,7 +716,7 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
 
 
 def _blend_fwd_impl(packed, pixf, starts, ends, *, num_tiles, interpret,
-                    fast=False):
+                    fast=False, quad=False):
     # Pad the tile axis to a TPP multiple (empty ranges for pad tiles).
     num_progs = -(-num_tiles // TPP)
     nt_pad = num_progs * TPP
@@ -655,7 +725,7 @@ def _blend_fwd_impl(packed, pixf, starts, ends, *, num_tiles, interpret,
         starts = jnp.pad(starts, (0, nt_pad - num_tiles))
         ends = jnp.pad(ends, (0, nt_pad - num_tiles))
     acc, tfin = pl.pallas_call(
-        functools.partial(_fwd_kernel, fast=fast),
+        functools.partial(_fwd_kernel, fast=fast, quad=quad),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(num_progs,),
@@ -728,9 +798,9 @@ def _blend_bwd_impl(packed, pixf, starts, ends, grads, *, num_tiles,
     return dpacked
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def blend(packed, pixf, starts, ends, num_tiles, interpret=False,
-          fast=False):
+          fast=False, quad=False):
     """Per-tile sorted blend.
 
     Args:
@@ -741,23 +811,30 @@ def blend(packed, pixf, starts, ends, num_tiles, interpret=False,
         its divide / moment reductions and all accumulators in f32;
         per-entry recompute, q/qw, and the prefix scan run bf16).
         ~0.3%-class alpha/gradient error vs the f32 chain.
+      quad: fast-mode forward only — power quadratic as 2 split-bf16
+        (P,8)@(8,G) MXU matmuls instead of the (P,G) VPU chain. Valid
+        only for INTEGER pixel coords (no jitter); callers gate it. The
+        backward keeps the non-quad recompute (it needs dx/dy for the
+        gradient chain anyway); the fwd/bwd alpha recompute divergence
+        this adds is within the tier's bf16 class.
     Returns:
       acc [T, P, 16] weighted sums (row layout: depth at 6, rgb at 7..9),
       final_T [T, P].
     """
     return _blend_fwd_impl(packed, pixf, starts, ends,
                            num_tiles=num_tiles, interpret=interpret,
-                           fast=fast)
+                           fast=fast, quad=quad)
 
 
-def _blend_vjp_fwd(packed, pixf, starts, ends, num_tiles, interpret, fast):
+def _blend_vjp_fwd(packed, pixf, starts, ends, num_tiles, interpret, fast,
+                   quad):
     out = _blend_fwd_impl(packed, pixf, starts, ends,
                           num_tiles=num_tiles, interpret=interpret,
-                          fast=fast)
+                          fast=fast, quad=quad)
     return out, (packed, pixf, starts, ends, out[0], out[1])
 
 
-def _blend_vjp_bwd(num_tiles, interpret, fast, residuals, cotangents):
+def _blend_vjp_bwd(num_tiles, interpret, fast, quad, residuals, cotangents):
     packed, pixf, starts, ends, acc, tfin = residuals
     g_acc, g_tfin = cotangents
     gc = g_acc[:, :, R_R:R_B2 + 1]  # [T,P,3]

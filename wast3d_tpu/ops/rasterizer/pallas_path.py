@@ -104,7 +104,7 @@ _sorted_gather.defvjp(_sg_fwd, _sg_bwd)
     static_argnames=("width", "height", "dup_capacity",
                      "max_tiles_per_gaussian", "interpret",
                      "phase_a_tiles", "big_budget_divisor", "grad_reduce",
-                     "fast_chain", "tile_cull"),
+                     "fast_chain", "tile_cull", "pack_gather"),
 )
 def render_pallas(
     prep: Preprocessed,
@@ -120,6 +120,7 @@ def render_pallas(
     grad_reduce: str = "scatter",
     fast_chain: bool = False,
     tile_cull: bool = True,
+    pack_gather: bool = False,
 ) -> RenderOutput:
     grid_x, grid_y = tile_grid(width, height)
     num_tiles = grid_x * grid_y
@@ -134,6 +135,52 @@ def render_pallas(
         opacities=prep.opacities if tile_cull else None,
         jitter_margin=1.0 if sampling_offsets is not None else 0.0,
     )
+    K = binning.rank.shape[0]
+    safe_rank_full = jnp.where(
+        jnp.arange(K, dtype=jnp.int32) < binning.tile_end[-1],
+        binning.rank, prep.means2d.shape[0],
+    )
+    ox = (binning.tile_of_dup % grid_x).astype(jnp.float32) * TILE
+    oy = (binning.tile_of_dup // grid_x).astype(jnp.float32) * TILE
+    if pack_gather:
+        if not fast_chain:
+            raise ValueError("pack_gather requires fast_chain (bf16 tier)")
+        # Serving-only fast gather: split-bf16 pack per Gaussian FIRST
+        # (N-sized, elementwise), gather 6 uint32 (24 B) per duplicate
+        # instead of 10 f32 (40 B) — the random K-row gather is
+        # HBM-latency-bound, so bytes/row is the lever. Means travel as
+        # hi+lo bf16 halves: hi - tile_origin is exact in f32 (both
+        # integer-grid magnitudes), + lo restores the subpixel part, so
+        # the final bf16 recentred coordinate has the same error class
+        # as the fast_chain cast in the f32 path below. uint32 bitcast
+        # is NOT differentiable — autodiff through this branch raises
+        # (by design: serving only).
+        mx, my = prep.means2d[:, 0], prep.means2d[:, 1]
+        mx_hi = mx.astype(jnp.bfloat16)
+        my_hi = my.astype(jnp.bfloat16)
+        cols = jnp.stack(
+            [mx_hi.astype(jnp.float32), mx - mx_hi.astype(jnp.float32),
+             my_hi.astype(jnp.float32), my - my_hi.astype(jnp.float32),
+             prep.conics[:, 0], prep.conics[:, 1], prep.conics[:, 2],
+             prep.opacities, prep.depths,
+             prep.colors[:, 0], prep.colors[:, 1], prep.colors[:, 2]],
+            axis=1).astype(jnp.bfloat16)  # [N,12]
+        packed_u32 = jax.lax.bitcast_convert_type(
+            cols.reshape(-1, 6, 2), jnp.uint32)  # [N,6]
+        src = jnp.concatenate(
+            [packed_u32[binning.depth_order],
+             jnp.zeros((1, 6), jnp.uint32)])
+        rows = jax.lax.bitcast_convert_type(
+            src[safe_rank_full], jnp.bfloat16).reshape(-1, 12)  # [K,12]
+        mxl = (rows[:, 0].astype(jnp.float32) - ox
+               + rows[:, 1].astype(jnp.float32)).astype(jnp.bfloat16)
+        myl = (rows[:, 2].astype(jnp.float32) - oy
+               + rows[:, 3].astype(jnp.float32)).astype(jnp.bfloat16)
+        pt = jnp.concatenate([mxl[None], myl[None], rows[:, 4:].T], axis=0)
+        packed = jnp.pad(pt, ((0, pb.NROWS - pt.shape[0]), (0, pb.G)))
+        return _blend_untile(
+            packed, binning, width, height, grid_x, grid_y, num_tiles, P,
+            bg_color, sampling_offsets, interpret, fast_chain)
     # Pack per-Gaussian rows once (elementwise), then ONE gather into sorted
     # order + transpose — instead of six separate gathers.
     packed_g = jnp.stack(
@@ -153,15 +200,10 @@ def render_pallas(
     # [start, end) so the kernel ignores them, but they must not poison
     # via NaN: redirect their rank to an all-zero sentinel row instead of
     # masking the (much larger) packed output after the fact.
-    K = binning.rank.shape[0]
-    safe_rank = jnp.where(
-        jnp.arange(K, dtype=jnp.int32) < binning.tile_end[-1],
-        binning.rank, n,
-    )
     source = jnp.concatenate(
         [packed_g[binning.depth_order], jnp.zeros((1, 10), jnp.float32)]
     )  # [N+1,10], row n = sentinel zeros
-    sorted_rows = _sorted_gather(source, safe_rank, grad_reduce)  # [K,10]
+    sorted_rows = _sorted_gather(source, safe_rank_full, grad_reduce)  # [K,10]
     # Recentre means on the OWNING tile's pixel origin (each duplicate
     # belongs to exactly one tile) and hand the kernel tile-LOCAL pixel
     # coords: dx = mx - px is invariant, but the kernel now only ever
@@ -170,8 +212,6 @@ def render_pallas(
     # (bf16) in-kernel chain viable (bf16 on a ~1000px coordinate is a
     # +-2px position error; on a recentred one it is subpixel).
     pt = sorted_rows.T  # [10,K]
-    ox = (binning.tile_of_dup % grid_x).astype(jnp.float32) * TILE
-    oy = (binning.tile_of_dup // grid_x).astype(jnp.float32) * TILE
     pt = jnp.concatenate(
         [pt[0:1] - ox[None], pt[1:2] - oy[None], pt[2:]], axis=0
     )
@@ -182,7 +222,15 @@ def render_pallas(
         # transpose + kernel DMA bytes and deletes the in-kernel casts.
         pt = pt.astype(jnp.bfloat16)
     packed = jnp.pad(pt, ((0, pb.NROWS - pt.shape[0]), (0, pb.G)))  # [16,K+G]
+    return _blend_untile(
+        packed, binning, width, height, grid_x, grid_y, num_tiles, P,
+        bg_color, sampling_offsets, interpret, fast_chain)
 
+
+def _blend_untile(packed, binning, width, height, grid_x, grid_y, num_tiles,
+                  P, bg_color, sampling_offsets, interpret, fast_chain):
+    """Shared tail: per-tile pixel coords (+ jitter), blend kernel,
+    background composite, untile to image layout."""
     px, py = _tile_pixel_coords(grid_x, grid_y)  # [T,P]
     t_org = jnp.arange(num_tiles, dtype=jnp.int32)
     px = px - ((t_org % grid_x) * TILE).astype(jnp.float32)[:, None]
@@ -197,9 +245,10 @@ def render_pallas(
         py = py + off[..., 1]
     pixf = jnp.stack([px, py], axis=-1)  # [T,P,2]
 
+    # quad: MXU power path needs integer pixel coords (no jitter).
     acc, tfin = pb.blend(
         packed, pixf, binning.tile_start, binning.tile_end, num_tiles,
-        interpret, fast_chain,
+        interpret, fast_chain, fast_chain and sampling_offsets is None,
     )
     color_t = acc[:, :, pb.R_R:pb.R_B2 + 1]  # [T,P,3]
     depth_t = acc[:, :, pb.R_DEPTH]  # [T,P]

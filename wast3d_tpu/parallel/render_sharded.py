@@ -180,8 +180,10 @@ def _shard_render(
     px = jax.lax.dynamic_slice_in_dim(px, me * t_loc, t_loc, 0)
     py = jax.lax.dynamic_slice_in_dim(py, me * t_loc, t_loc, 0)
     pixf = jnp.stack([px, py], axis=-1)
+    # quad MXU power: strip path has no jitter (integer pixel coords).
     acc, tfin = pb.blend(packed, pixf, starts, ends, t_loc,
-                         settings.pallas_interpret, settings.fast_chain)
+                         settings.pallas_interpret, settings.fast_chain,
+                         settings.fast_chain)
     color_t = acc[:, :, pb.R_R:pb.R_B2 + 1]
     color_t = color_t + tfin[..., None] * bg_color[None, None, :]
     depth_t = acc[:, :, pb.R_DEPTH]
