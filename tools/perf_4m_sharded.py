@@ -97,7 +97,18 @@ def main():
 
     import jax
 
+    if os.environ.get("WAST3D_FORCE_CPU"):
+        # The axon plugin overrides JAX_PLATFORMS env; only the config
+        # call sticks (verify-skill gotcha).
+        jax.config.update("jax_platforms", "cpu")
+
     if len(jax.devices()) < args.devices or jax.default_backend() != "cpu":
+        if os.environ.get("WAST3D_FORCE_CPU"):
+            # Fork-bomb fuse: we ARE the bootstrap child and still don't
+            # see the virtual mesh — config problem, do not re-exec.
+            raise SystemExit(
+                f"bootstrap failed: backend={jax.default_backend()} "
+                f"devices={len(jax.devices())}")
         # Self-bootstrap a virtual CPU mesh subprocess (same pattern as
         # __graft_entry__._bootstrap_virtual_devices).
         import subprocess
@@ -131,7 +142,7 @@ def main():
     cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
                          fovx=0.9, fovy=0.9, width=w, height=h)
     bg = jnp.zeros(3)
-    res: dict = {"devices": args.devices, "res": args.res}
+    res: dict = {"n": args.n, "devices": args.devices, "res": args.res}
 
     # --- 1. compile-only at the true config-4 shape ---
     n = args.n

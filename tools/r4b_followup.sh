@@ -24,12 +24,16 @@ while ! grep -q "r4_measure.sh finished" /tmp/chip_watch.log 2>/dev/null; do
 done
 
 step probe 240 python -c "import jax; x=jax.numpy.ones((128,128)); print(jax.devices(), float((x@x).sum()))" || exit 1
-# Kernel edits since the queue's smoke (quad-form MXU power, pack_gather
-# serving gather): re-gate Mosaic legality before anything else.
-step smoke 1200 python tools/tpu_smoke.py || exit 1
 
+# Stylize gate first: it does not touch the r4 kernel edits, so a
+# Mosaic failure of those must not block it.
 step stylegate_v2 4500 python tools/stylize_gate.py --content-n 200000 \
   --patch-m 2048 --fit-steps 1000 --out runs/stylegate
+
+# Kernel edits since the queue's smoke (quad-form MXU power, pack_gather
+# serving gather): re-gate Mosaic legality before kernel measurements.
+step smoke 1200 python tools/tpu_smoke.py || exit 1
+
 step fwd_anatomy 3600 python tools/perf_fwd_anatomy.py --iters 30 --cap-mult 4
 # Fresh serving numbers (quad auto-applies under --fast, jitter off).
 step perf_fast_v2 1500 python tools/perf_step.py \
