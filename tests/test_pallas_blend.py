@@ -484,9 +484,14 @@ class TestGradientParity:
         )
 
     def test_finite_difference(self):
+        # quad_power off: the quad path's bf16-quantized expansion
+        # coefficients make the forward piecewise-flat at ~1e-3 position
+        # scales, so central differences of its TINY gradients are
+        # meaningless (the analytic VJP recomputes the direct form
+        # either way — see RasterizeSettings.quad_power).
         cam = _cam(w=16, h=16)
         s = _scene_from([[0.1, -0.1, 0]], [[0.9, 0.3, 0.5]], [[0.4] * 3], [[0.7]])
-        f = self._loss(cam, s, PALLAS)
+        f = self._loss(cam, s, PALLAS._replace(quad_power=False))
         g = np.asarray(jax.grad(f)(s.xyz))
         eps = 1e-3
         for dim in range(3):
@@ -494,3 +499,31 @@ class TestGradientParity:
             e[0, dim] = eps
             fd = (float(f(s.xyz + e)) - float(f(s.xyz - e))) / (2 * eps)
             np.testing.assert_allclose(g[0, dim], fd, rtol=3e-2, atol=1e-5)
+
+    def test_quad_power_matches_direct(self):
+        """Exact-tier quad-form MXU power (triple-split coefficients)
+        must track the direct f32 chain within the exact tier's own
+        split-bf16 class on renders AND pallas-vs-pallas grads."""
+        cam = _cam(w=80, h=48)
+        from tests.test_pallas_blend import _random_scene  # self-import ok
+        s = _random_scene(n=120, seed=2)
+        on = api.render(cam, s, WHITE, settings=PALLAS)
+        off = api.render(cam, s, WHITE,
+                         settings=PALLAS._replace(quad_power=False))
+        np.testing.assert_allclose(
+            np.asarray(on["render"]), np.asarray(off["render"]), atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(on["final_T"]), np.asarray(off["final_T"]), atol=2e-4)
+
+        ramp = jnp.linspace(0.0, 1.0, cam.height)[:, None, None]
+
+        def loss(xyz, settings):
+            out = api.render(cam, s.replace(xyz=xyz), WHITE,
+                             settings=settings)
+            return jnp.mean(out["render"] ** 2 * ramp)
+
+        g_on = np.asarray(jax.grad(loss)(s.xyz, PALLAS))
+        g_off = np.asarray(
+            jax.grad(loss)(s.xyz, PALLAS._replace(quad_power=False)))
+        scale = np.abs(g_off).max() + 1e-12
+        assert (np.abs(g_on - g_off) / scale).max() < 2e-3

@@ -69,6 +69,16 @@ class RasterizeSettings(NamedTuple):
     # reductions and accumulators stay f32). ~0.3%-class alpha/gradient
     # error vs the f32 chain — NOT bit-comparable; opt in for serving /
     # after quality-gating for training.
+    quad_power: bool = True  # pallas path, jitter-off renders: evaluate
+    # the Gaussian power quadratic as split-bf16 (P,8)@(8,G) MXU matmuls
+    # (triple split in the exact tier, ~2^-24 of the cancelling
+    # expansion terms — tighter than the exact tier's documented 2^-16
+    # scan class; double split in the fast tier) instead of the ~10-pass
+    # per-(pixel,entry) VPU chain. The coefficient quantization makes
+    # the forward piecewise-flat at ~1e-3 position scales, so
+    # finite-difference probes of TINY gradients should pin
+    # quad_power=False (the analytic VJP is unaffected — the backward
+    # recomputes the direct form either way).
     pack_gather: bool = False  # fast_chain serving-only: per-Gaussian
     # split-bf16 pack into uint32 pairs BEFORE the K-row gather (24B/row
     # instead of 40B — the random gather is HBM-latency-bound, r4
@@ -190,6 +200,7 @@ def render(
             fast_chain=settings.fast_chain,
             tile_cull=settings.tile_cull,
             pack_gather=settings.pack_gather,
+            quad_power=settings.quad_power,
         )
         color, depth, final_T = out.color, out.depth, out.final_T
         overflow, overflow_emit = out.overflow, out.overflow_emit

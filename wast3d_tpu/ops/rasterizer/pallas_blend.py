@@ -169,13 +169,21 @@ def _scan_dot_fast(x, u_bf16):
     return parts[0] if NSUB == 1 else jnp.concatenate(parts, axis=1)
 
 
-def _chunk_quantities(data, px, py, logT, done, start, end, off):
+def _chunk_quantities(data, px, py, logT, done, start, end, off, pix8=None):
     """Shared forward recomputation for one chunk.
 
     data: (16, G); px/py: (P, 1); logT: (P, 1) f32; done: (P, 1) f32
     (0/1; the mask is derived HERE so its i1 bitwidth-layout matches this
     chain's compares — mixing 32-bit and 16-bit masks needs an i1
-    relayout Mosaic cannot do). All pixel x entry matrices are (P, G)."""
+    relayout Mosaic cannot do). All pixel x entry matrices are (P, G).
+
+    pix8: optional (P,8) bf16 pixel monomials (jitter-off fwd kernel
+    only): the power quadratic moves to the MXU as THREE split-bf16
+    (P,8)@(8,G) matmuls (hi/mid/lo on the coefficient side restores
+    ~2^-24 relative of the cancelling expansion terms — tighter than the
+    exact tier's documented 2^-16 transmittance-scan class), replacing
+    the dx/dy/power ~10-pass (P,G) f32 VPU chain. pix8 itself is exact
+    (integer tile-local coords; monomials <= 225 < 2^8)."""
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1) + off
     col_valid = (cols >= start) & (cols < end)  # (1,G)
 
@@ -190,17 +198,45 @@ def _chunk_quantities(data, px, py, logT, done, start, end, off):
     # (P,G) broadcast `| ~col_valid` in the skip mask.
     opa = jnp.where(col_valid, data[R_OPA:R_OPA + 1, :], 0.0)
 
-    dx = mx - px  # (P,G)
-    dy = my - py
-    # Folded-coefficient form: Ah = -A/2, Ch = -C/2, Bn = -B cost three
-    # (1,G) column ops (1/P of a (P,G) pass) and save one full (P,G)
-    # pass vs -0.5*(...) - B dx dy. The min(power, 0) exp guard is
-    # dropped outright: the conic is PSD, so power <= 0 up to rounding,
-    # and a spuriously positive power is skip-masked below (exp overflow
-    # to +inf still yields alpha = 0.99 -> where(skip, 0) — finite
-    # either way).
-    power = ((-0.5 * A) * dx) * dx + ((-0.5 * CC) * dy) * dy \
-        + ((-B) * dx) * dy
+    if pix8 is not None:
+        Ah, Ch, Bn = -0.5 * A, -0.5 * CC, -B  # (1,G)
+        c8 = jnp.concatenate(
+            [Ah, Ch, Bn,
+             -2.0 * Ah * mx - Bn * my,
+             -2.0 * Ch * my - Bn * mx,
+             Ah * mx * mx + Ch * my * my + Bn * mx * my,
+             jnp.zeros_like(mx), jnp.zeros_like(mx)],
+            axis=0,
+        )  # (8,G) f32
+        c_hi, c_mid = _split2(c8)
+        c_lo = (c8 - c_hi.astype(jnp.float32)
+                - c_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        power = (
+            jax.lax.dot(pix8, c_hi, preferred_element_type=jnp.float32)
+            + jax.lax.dot(pix8, c_mid, preferred_element_type=jnp.float32)
+            + jax.lax.dot(pix8, c_lo, preferred_element_type=jnp.float32)
+        )  # (P,G) f32
+        # The expansion's residual (~2^-24 of the cancelling terms, up
+        # to ~1e-4 absolute) can push power spuriously POSITIVE exactly
+        # where it matters most — at the splat's center pixel, where
+        # true power ~= 0 and alpha is maximal. A bare `power > 0` skip
+        # would zero that pixel. Clamp the exp argument and give the
+        # skip test an error allowance instead (the direct-form branch
+        # below needs neither: its PSD quadratic can't go positive
+        # beyond ~1-ulp).
+        power = jnp.minimum(power, 0.0) + jnp.maximum(power - 1e-3, 0.0)
+    else:
+        dx = mx - px  # (P,G)
+        dy = my - py
+        # Folded-coefficient form: Ah = -A/2, Ch = -C/2, Bn = -B cost
+        # three (1,G) column ops (1/P of a (P,G) pass) and save one full
+        # (P,G) pass vs -0.5*(...) - B dx dy. The min(power, 0) exp
+        # guard is dropped outright: the conic is PSD, so power <= 0 up
+        # to rounding, and a spuriously positive power is skip-masked
+        # below (exp overflow to +inf still yields alpha = 0.99 ->
+        # where(skip, 0) — finite either way).
+        power = ((-0.5 * A) * dx) * dx + ((-0.5 * CC) * dy) * dy \
+            + ((-B) * dx) * dy
     if "cheaptrans" in _ABLATE:  # measurement only: fake transcendentals
         alpha = jnp.minimum(ALPHA_MAX, opa * (1.0 + jnp.minimum(power, 0.0)))
     else:
@@ -335,6 +371,11 @@ def _chunk_quantities_fast_quad(data, pix8, logT, done, start, end, off):
         jax.lax.dot(pix8, c_hi, preferred_element_type=jnp.float32)
         + jax.lax.dot(pix8, c_lo, preferred_element_type=jnp.float32)
     )  # (P,G) f32
+    # Expansion residual (~2^-16 of the cancelling terms, up to ~1e-2)
+    # can push power spuriously positive at the splat CENTER pixel where
+    # alpha peaks; a bare `power > 0` skip would zero it. Clamp + skip
+    # allowance (see the exact-tier variant in _chunk_quantities).
+    power = jnp.minimum(power, 0.0) + jnp.maximum(power - 0.05, 0.0)
 
     alpha = jnp.minimum(bf(ALPHA_MAX), opa * jnp.exp(power.astype(bf)))
     a32 = alpha.astype(jnp.float32)
@@ -368,7 +409,7 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
         end = ends_ref[t]
         px = pixf_ref[ti, :, 0:1]  # (P,1)
         py = pixf_ref[ti, :, 1:2]
-        if fast and quad:
+        if quad:
             # Per-tile pixel monomials for the quad-form MXU power
             # (exact bf16: integer tile-local coords, see
             # _chunk_quantities_fast_quad). Hoisted out of the chunk loop.
@@ -411,6 +452,9 @@ def _fwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, acc_ref, tfin_ref,
                 alpha, T_prev, done_incl, w, s_live = (
                     _chunk_quantities_fast_quad(
                         data, pix8, logT, done, start, end, off))
+            elif quad:
+                alpha, T_prev, done_incl, w, s_live = _chunk_quantities(
+                    data, px, py, logT, done, start, end, off, pix8=pix8)
             else:
                 alpha, T_prev, done_incl, w, s_live = chunk_fn(
                     data, px, py, logT, done, start, end, off

@@ -104,7 +104,7 @@ _sorted_gather.defvjp(_sg_fwd, _sg_bwd)
     static_argnames=("width", "height", "dup_capacity",
                      "max_tiles_per_gaussian", "interpret",
                      "phase_a_tiles", "big_budget_divisor", "grad_reduce",
-                     "fast_chain", "tile_cull", "pack_gather"),
+                     "fast_chain", "tile_cull", "pack_gather", "quad_power"),
 )
 def render_pallas(
     prep: Preprocessed,
@@ -121,6 +121,7 @@ def render_pallas(
     fast_chain: bool = False,
     tile_cull: bool = True,
     pack_gather: bool = False,
+    quad_power: bool = True,
 ) -> RenderOutput:
     grid_x, grid_y = tile_grid(width, height)
     num_tiles = grid_x * grid_y
@@ -180,7 +181,7 @@ def render_pallas(
         packed = jnp.pad(pt, ((0, pb.NROWS - pt.shape[0]), (0, pb.G)))
         return _blend_untile(
             packed, binning, width, height, grid_x, grid_y, num_tiles, P,
-            bg_color, sampling_offsets, interpret, fast_chain)
+            bg_color, sampling_offsets, interpret, fast_chain, quad_power)
     # Pack per-Gaussian rows once (elementwise), then ONE gather into sorted
     # order + transpose — instead of six separate gathers.
     packed_g = jnp.stack(
@@ -224,11 +225,12 @@ def render_pallas(
     packed = jnp.pad(pt, ((0, pb.NROWS - pt.shape[0]), (0, pb.G)))  # [16,K+G]
     return _blend_untile(
         packed, binning, width, height, grid_x, grid_y, num_tiles, P,
-        bg_color, sampling_offsets, interpret, fast_chain)
+        bg_color, sampling_offsets, interpret, fast_chain, quad_power)
 
 
 def _blend_untile(packed, binning, width, height, grid_x, grid_y, num_tiles,
-                  P, bg_color, sampling_offsets, interpret, fast_chain):
+                  P, bg_color, sampling_offsets, interpret, fast_chain,
+                  quad_power=True):
     """Shared tail: per-tile pixel coords (+ jitter), blend kernel,
     background composite, untile to image layout."""
     px, py = _tile_pixel_coords(grid_x, grid_y)  # [T,P]
@@ -246,9 +248,11 @@ def _blend_untile(packed, binning, width, height, grid_x, grid_y, num_tiles,
     pixf = jnp.stack([px, py], axis=-1)  # [T,P,2]
 
     # quad: MXU power path needs integer pixel coords (no jitter).
+    # Exact tier uses the triple-split (2^-24) variant, fast the
+    # double-split — both tighter than their chain's own class.
     acc, tfin = pb.blend(
         packed, pixf, binning.tile_start, binning.tile_end, num_tiles,
-        interpret, fast_chain, fast_chain and sampling_offsets is None,
+        interpret, fast_chain, quad_power and sampling_offsets is None,
     )
     color_t = acc[:, :, pb.R_R:pb.R_B2 + 1]  # [T,P,3]
     depth_t = acc[:, :, pb.R_DEPTH]  # [T,P]

@@ -183,7 +183,7 @@ def _shard_render(
     # quad MXU power: strip path has no jitter (integer pixel coords).
     acc, tfin = pb.blend(packed, pixf, starts, ends, t_loc,
                          settings.pallas_interpret, settings.fast_chain,
-                         settings.fast_chain)
+                         settings.quad_power)
     color_t = acc[:, :, pb.R_R:pb.R_B2 + 1]
     color_t = color_t + tfin[..., None] * bg_color[None, None, :]
     depth_t = acc[:, :, pb.R_DEPTH]
