@@ -205,6 +205,9 @@ def main():
     ap.add_argument("--log-every", type=int, default=500)
     ap.add_argument("--no-cache", action="store_true",
                     help="skip the persistent compile cache")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore existing chkpnt* in the model dir "
+                         "(default: resume from the latest)")
     args = ap.parse_args()
     if args.no_cache:
         # Authoritative: utils/cache.enable honors this env var, so the
@@ -247,10 +250,28 @@ def main():
         fast_chain=args.fast_chain,
         pallas_interpret=bool(os.environ.get("WAST3D_FORCE_CPU")),
     )
+    # Periodic checkpoints + resume: the TPU tunnel dies mid-run often
+    # enough (twice on 8/19 alone) that losing a 2h 30k gate to an
+    # outage is the common case, not the exception.
+    ck_step = max(1000, args.iters // 6)
+    ckpts = list(range(ck_step, args.iters, ck_step))
+    start_ckpt = None
+    if not args.fresh:
+        import glob as _glob
+
+        found = sorted(
+            _glob.glob(os.path.join(model, "chkpnt*")),
+            key=lambda p: int("".join(filter(str.isdigit,
+                                             os.path.basename(p))) or 0),
+        )
+        if found:
+            start_ckpt = found[-1]
+            print(f"resuming from {start_ckpt}")
     t_train0 = time.time()
     trainer = train_scene(
         source_path=data, model_path=model, iterations=args.iters,
         eval_split=True, save_iterations=[args.iters],
+        checkpoint_iterations=ckpts, start_checkpoint=start_ckpt,
         opt_cfg=opt, settings=settings, quiet=True,
         log_every=args.log_every,
     )

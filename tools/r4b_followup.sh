@@ -23,7 +23,17 @@ while ! grep -q "r4_measure.sh finished" /tmp/chip_watch.log 2>/dev/null; do
   sleep 120
 done
 
-step probe 240 python -c "import jax; x=jax.numpy.ones((128,128)); print(jax.devices(), float((x@x).sum()))" || exit 1
+# The chip can be mid-outage when the queue ends (it went down twice on
+# 8/19); POLL for responsiveness rather than failing once.
+until timeout 120 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((128, 128))
+assert float((x @ x).sum()) == 128.0 * 128 * 128
+print(jax.devices())
+" 2>/dev/null; do
+  echo "[r4b] chip unresponsive $(date -u +%H:%M:%S)" >&2
+  sleep 120
+done
 
 # Stylize gate first: it does not touch the r4 kernel edits, so a
 # Mosaic failure of those must not block it.
