@@ -21,8 +21,11 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8090)
     ap.add_argument("--renderer", default="pallas",
                     choices=["pallas", "tiled"])
-    ap.add_argument("--fast", action="store_true",
-                    help="bf16 fast_chain serving mode")
+    ap.add_argument("--fast", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="bf16 fast_chain serving mode (default on: "
+                         "quality-gated at 0.006 dB vs exact, "
+                         "runs/qgate_r4_800_30k*; --no-fast for f32)")
     ap.add_argument("--dup-capacity", type=int, default=1 << 21)
     args = ap.parse_args()
 

@@ -67,8 +67,10 @@ class RasterizeSettings(NamedTuple):
     fast_chain: bool = False  # pallas path: bf16 elementwise chain in the
     # blend kernels (fwd + bwd recompute/q/prefix; divides, moment
     # reductions and accumulators stay f32). ~0.3%-class alpha/gradient
-    # error vs the f32 chain — NOT bit-comparable; opt in for serving /
-    # after quality-gating for training.
+    # error vs the f32 chain — NOT bit-comparable. Quality-gated r4:
+    # 0.006 dB PSNR delta on a full 30k/800^2 run
+    # (runs/qgate_r4_800_30k{,_fast}) — serving CLIs default it ON;
+    # training keeps f32 (fast bwd is net slower on v5e, NOTES_PERF r4s1).
     quad_power: bool = True  # pallas path, jitter-off renders: evaluate
     # the Gaussian power quadratic as split-bf16 (P,8)@(8,G) MXU matmuls
     # (triple split in the exact tier, ~2^-24 of the cancelling
