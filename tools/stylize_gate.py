@@ -132,6 +132,16 @@ def main():
                     help="style median edge length as a multiple of the "
                          "domain's median point spacing (the reference's "
                          "same-metric-space regime; see make_style_patch)")
+    ap.add_argument("--w-coverage", type=float, default=1.0,
+                    help="domain_coverage_loss weight for the gate fits. "
+                         "Diagnosed r4: with 0 (notebook-11 default) the "
+                         "rigid crystal stalls OUTSIDE its ball (fit_r90 "
+                         "~3x ball_r90 from the 5*std init) -> coverage "
+                         "0.678; the multi-cluster notebook's coverage "
+                         "term pulls it in (coverage 1.000, desc "
+                         "reduction still 16.6x). The PIPELINE default "
+                         "stays 0.0 (reference parity); the gate measures "
+                         "the covering configuration.")
     ap.add_argument("--out", default="runs/stylegate")
     args = ap.parse_args()
     _enable_cache()
@@ -145,10 +155,11 @@ def main():
 
     t0 = time.time()
     content = make_content(args.content_n)
-    cfg = StylizeConfig(fit_steps=args.fit_steps)
+    cfg = StylizeConfig(fit_steps=args.fit_steps, w_coverage=args.w_coverage)
     if os.environ.get("WAST3D_FORCE_CPU"):
-        cfg = StylizeConfig(fit_steps=args.fit_steps, pallas_interpret=True,
-                            desc_kernel=False)
+        cfg = StylizeConfig(fit_steps=args.fit_steps,
+                            w_coverage=args.w_coverage,
+                            pallas_interpret=True, desc_kernel=False)
     mesh = None
     if args.devices > 1:
         from wast3d_tpu.parallel.mesh import make_mesh
@@ -235,6 +246,7 @@ def main():
         "style_edge_median": round(float(np.median(style_edges)), 5),
         "domain_spacing_median": round(domain_spacing, 5),
         "edge_ratio": args.edge_ratio,
+        "w_coverage": args.w_coverage,
         "domain_coverage_frac": round(covered, 3),
         "prepare_s": round(t_prep, 1), "fit_s": round(t_fit, 1),
         "wall_s": round(time.time() - t0, 1),
