@@ -622,6 +622,34 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, pixf_ref, grads_ref,
                 data, px, py, logT, done, start, end, off
             )
 
+            if "cheapgrad" in _ABLATE:
+                # Measurement only: stub the whole gradient block (q, qw
+                # prefix scan, dpow, moment sums, color/depth reductions)
+                # with one (P,G) product + one sublane reduction, keeping
+                # the recompute chain, the RMW pipeline and the loop
+                # carries intact. The in-situ delta vs baseline is the
+                # CEILING for any MXU offload of the gradient block.
+                aw = alpha.astype(jnp.float32) * w.astype(jnp.float32)
+                stub = jnp.sum(aw, axis=0, keepdims=True)  # (1,G)
+                dgrad = jnp.concatenate([stub] * NROWS, axis=0)  # (16,G)
+                out_read(slot, c).wait()
+
+                @pl.when(c >= 2)
+                def _():
+                    out_write(slot, c - 2).wait()
+
+                dout_vmem[slot] = din_vmem[slot] + dgrad
+                out_write(slot, c).start()
+
+                if fast:
+                    logT = logT + jnp.sum(s_live.astype(jnp.float32),
+                                          axis=1, keepdims=True)
+                else:
+                    logT = logT + jnp.sum(s_live, axis=1, keepdims=True)
+                done = jnp.max(done_incl.astype(jnp.float32), axis=1,
+                               keepdims=True)
+                return c + 1, logT, done, prefix
+
             # q[p,g] = gc . rgb_g + gd * depth_g
             if fast:
                 q = (
