@@ -252,10 +252,17 @@ def _bench_ladder(iters=5):
     # 4N holds headroom while keeping the reduction sort at the 2^22 pad
     # (5N pads to 2^23 — double the sort for nothing). Overflow-checked:
     # grow rather than measure a truncated render.
-    for cap_mult in (4, 6, 10):
+    # Plan ladder: the tight emission plan (ra=4/div=64/floor=128) halves
+    # the 1M binning sort (2^23 -> 2^22, NOTES_PERF r4s4); its band
+    # budgets hold on this scene (tools/tile_straddle.py). Fall back to
+    # the default plan if a band budget ever misses (overflow_emit).
+    _tight = dict(phase_a_tiles=4, big_budget_divisor=64,
+                  floor_band_budget=128)
+    for plan_kw, cap_mult in ((_tight, 4), (_tight, 6), ({}, 4), ({}, 6),
+                              ({}, 10)):
         settings = api.RasterizeSettings(
             renderer="pallas", dup_capacity=cap_mult * n,
-            max_per_tile=1024, chunk=32,
+            max_per_tile=1024, chunk=32, **plan_kw,
         )
 
         @jax.jit
@@ -268,7 +275,8 @@ def _bench_ladder(iters=5):
 
         if not bool(fwd_ovf(scene, cam, bg)):
             break
-        print(f"# 1M ladder: overflow at {cap_mult}N, growing", file=sys.stderr)
+        print(f"# 1M ladder: overflow at {cap_mult}N "
+              f"(plan={plan_kw or 'default'}), growing", file=sys.stderr)
     else:
         raise AssertionError("1M ladder overflowed at 10x capacity")
 
@@ -330,26 +338,37 @@ def _bench_4m(iters=3):
     res = {}
     try:
         scene = _build(n, cap=n)
-        # 5N: same kept-dup argument as the 1M ladder (+4M headroom);
-        # 20M pads to 2^25 either way, 6N would too.
-        settings = api.RasterizeSettings(
-            renderer="pallas", dup_capacity=5 * n, max_per_tile=1024,
-            chunk=32,
-        )
         from wast3d_tpu.core.camera import look_at_camera
 
         cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
                              fovx=0.9, fovy=0.9, width=w, height=h)
         bg = jnp.zeros(3)
 
-        @jax.jit
-        def fwd(scene, camera, bg):
-            r = api.render(camera, scene, bg, settings=settings)
-            return r["render"], r["overflow"]
+        # 5N: same kept-dup argument as the 1M ladder (+4M headroom);
+        # 20M pads to 2^25 either way, 6N would too. Tight emission plan
+        # first (grid 16.5M -> 2^24 vs the default 2^25: halves the
+        # 2-key fallback sort, NOTES_PERF r4s4), default plan as the
+        # band-budget-miss fallback.
+        for plan_kw in (dict(phase_a_tiles=4, big_budget_divisor=64,
+                             floor_band_budget=128), {}):
+            settings = api.RasterizeSettings(
+                renderer="pallas", dup_capacity=5 * n, max_per_tile=1024,
+                chunk=32, **plan_kw,
+            )
 
-        out, ovf = fwd(scene, cam, bg)
-        jax.block_until_ready(out)
-        assert not bool(ovf), "4M bench overflowed its capacities"
+            @jax.jit
+            def fwd(scene, camera, bg, settings=settings):
+                r = api.render(camera, scene, bg, settings=settings)
+                return r["render"], r["overflow"]
+
+            out, ovf = fwd(scene, cam, bg)
+            jax.block_until_ready(out)
+            if not bool(ovf):
+                break
+            print(f"# 4M bench: overflow (plan={plan_kw or 'default'}), "
+                  "growing", file=sys.stderr)
+        else:
+            raise AssertionError("4M bench overflowed its capacities")
         t0 = time.perf_counter()
         for _ in range(iters):
             out, _ = fwd(scene, cam, bg)

@@ -281,3 +281,72 @@ class TestPhasePlanSelector:
                 for s, e, _ in plan:
                     assert s == pos
                     pos += e
+
+
+class TestTightPlan:
+    def test_tight_plan_opt_in_crosses_pad_boundaries(self):
+        """The tight candidate (bands grow by +covered, floor_budget=128)
+        is only taken when it strictly improves the padded sort size:
+        defaults keep their proven plans, while the 1M/4M opt-in
+        (ra=4, div=64, floor=128 — NOTES_PERF r4s4) crosses 2^23 -> 2^22
+        and 2^25 -> 2^24 respectively."""
+        from wast3d_tpu.ops.rasterizer.binning import _phase_plan
+
+        def padded(n, plan):
+            total = n * plan[0][1] + sum(e * b for _, e, b in plan[1:])
+            return 1 << (total - 1).bit_length()
+
+        # Defaults unchanged (same pads as the r3 selection).
+        assert padded(200_000, _phase_plan(200_000, 6, 512, 16)) == 1 << 21
+        assert padded(1_000_000, _phase_plan(1_000_000, 6, 512, 16)) == 1 << 23
+        # Opt-in tight plans.
+        p1m = _phase_plan(1_000_000, 4, 512, 64, floor_budget=128)
+        assert padded(1_000_000, p1m) == 1 << 22
+        p4m = _phase_plan(4_000_000, 4, 512, 64, floor_budget=128)
+        assert padded(4_000_000, p4m) == 1 << 24
+        # Coverage + contiguity hold for the tight shape too.
+        for n, p in ((1_000_000, p1m), (4_000_000, p4m)):
+            assert p[0] == (0, 4, None)
+            assert sum(e for _, e, _ in p) == 512
+            pos = 0
+            for s, e, _ in p:
+                assert s == pos
+                pos += e
+            assert p[-1][2] == 128  # floor band honors floor_budget
+
+    def test_tight_plan_binning_matches_default(self):
+        """With budgets sufficient for the scene, the tight plan produces
+        the same sorted duplicate lists as the default plan (plans only
+        change WHERE slots come from, never which (gaussian, tile) pairs
+        exist)."""
+        rng = np.random.default_rng(11)
+        n = 128
+        means = rng.uniform(20, 300, (n, 2))
+        radii = rng.integers(2, 60, n)
+        depths = rng.uniform(1, 6, n)
+        a = _bin(means, depths, radii, w=320, h=320, cap=8192)
+        b = _bin(means, depths, radii, w=320, h=320, cap=8192,
+                 phase_a_tiles=4, big_budget_divisor=2,
+                 floor_band_budget=128)
+        assert not bool(a.overflow) and not bool(b.overflow)
+        np.testing.assert_array_equal(np.asarray(a.tile_start),
+                                      np.asarray(b.tile_start))
+        np.testing.assert_array_equal(np.asarray(a.tile_end),
+                                      np.asarray(b.tile_end))
+        k = int(np.asarray(a.tile_end)[-1])
+        np.testing.assert_array_equal(np.asarray(a.gauss_idx)[:k],
+                                      np.asarray(b.gauss_idx)[:k])
+
+    def test_tight_plan_budget_miss_flags_emit(self):
+        """A scene whose straddle exceeds a tight band budget raises
+        overflow_emit (the auto-grow trigger), never silent truncation."""
+        rng = np.random.default_rng(12)
+        n = 300
+        means = rng.uniform(40, 280, (n, 2))
+        radii = np.full(n, 60)  # every gaussian straddles many tiles
+        depths = rng.uniform(1, 5, n)
+        b = _bin(means, depths, radii, w=320, h=320, cap=0,
+                 phase_a_tiles=4, big_budget_divisor=1024,
+                 floor_band_budget=128)
+        assert bool(b.overflow_emit)
+        assert bool(b.overflow)

@@ -279,3 +279,34 @@ class TestNetworkGUI:
             client.close()
         finally:
             gui.stop()
+
+
+class TestRenderBatch:
+    def test_map_and_vmap_match_single(self):
+        """render_batch (both modes) == per-camera render(): the map mode
+        runs the exact single-frame program under lax.map (the serving
+        default — the vmapped program measured ~2.4x slower per frame on
+        v5e, NOTES_PERF r4s4)."""
+        from tests.test_rasterizer import _cam, _random_scene
+        from wast3d_tpu.eval.render_sets import render_batch
+        from wast3d_tpu.ops.rasterizer import api
+        from wast3d_tpu.ops.rasterizer.api import RasterizeSettings
+
+        scene = _random_scene(n=40, seed=3)
+        settings = RasterizeSettings(renderer="tiled", dup_capacity=1 << 12,
+                                     max_per_tile=128, chunk=16)
+        cams = [_cam(w=32, h=32, eye=(0.4 * i - 0.4, 0.1, -5))
+                for i in range(3)]
+        singles = [api.render(c, scene, jnp.zeros(3), settings=settings)
+                   for c in cams]
+        for mode in ("map", "vmap"):
+            out = render_batch(cams, scene, jnp.zeros(3),
+                               settings=settings, mode=mode)
+            assert out["render"].shape == (3, 32, 32, 3)
+            for i, s in enumerate(singles):
+                np.testing.assert_allclose(
+                    np.asarray(out["render"][i]), np.asarray(s["render"]),
+                    atol=1e-5, err_msg=f"mode={mode} cam={i}")
+                np.testing.assert_allclose(
+                    np.asarray(out["depth"][i]), np.asarray(s["depth"]),
+                    atol=1e-4, err_msg=f"mode={mode} cam={i}")

@@ -59,25 +59,29 @@ def plan_report(n, tt_list, max_tiles=512):
 
     rows = []
     for ra in (3, 4, 5, 6, 8):
-        for div in (8, 16, 32):
-            phases = _phase_plan(n, ra, max_tiles, div)
-            total = n * phases[0][1] + sum(e * b for _, e, b in phases[1:])
-            padded = 1 << (total - 1).bit_length()
-            ok = True
-            worst = ""
-            for tt in tt_list:
-                for start, _extra, budget in phases[1:]:
-                    need = int((tt > start).sum())
-                    if need > budget:
-                        ok = False
-                        worst = f" band>{start}: need {need} > budget {budget}"
+        for div in (8, 16, 32, 64, 128):
+            for floor in (256, 128):
+                phases = _phase_plan(n, ra, max_tiles, div,
+                                     floor_budget=floor)
+                total = n * phases[0][1] + sum(
+                    e * b for _, e, b in phases[1:])
+                padded = 1 << (total - 1).bit_length()
+                ok = True
+                worst = ""
+                for tt in tt_list:
+                    for start, _extra, budget in phases[1:]:
+                        need = int((tt > start).sum())
+                        if need > budget:
+                            ok = False
+                            worst = (f" band>{start}: need {need} > "
+                                     f"budget {budget}")
+                            break
+                    if not ok:
                         break
-                if not ok:
-                    break
-            rows.append((ra, div, total, padded, ok, worst))
+                rows.append((ra, div, floor, total, padded, ok, worst))
     print(f"  plan candidates (n={n}):")
-    for ra, div, total, padded, ok, worst in rows:
-        print(f"    ra={ra} div={div}: grid={total} pad=2^"
+    for ra, div, floor, total, padded, ok, worst in rows:
+        print(f"    ra={ra} div={div} floor={floor}: grid={total} pad=2^"
               f"{padded.bit_length()-1} feasible={ok}{worst}")
 
 
@@ -119,8 +123,10 @@ def main():
     import bench as bench_mod
 
     n = int(os.environ.get("BENCH_N", 200_000))
+    res = os.environ.get("BENCH_RES", "800x800")
+    w, h = (int(x) for x in res.split("x"))
     scene = bench_mod._build(n, cap=n)
-    run_scene(scene, 800, 800, f"bench {n} 800x800",
+    run_scene(scene, w, h, f"bench {n} {res}",
               [(0, 0, -3), (0.8, 0.4, -2.8), (0, 0, -4)])
     del scene
 

@@ -35,27 +35,37 @@ def render_batch(
     scene: GaussianScene,
     bg_color: jnp.ndarray,
     settings: raster_api.RasterizeSettings = raster_api.RasterizeSettings(),
+    mode: str = "map",
 ) -> dict:
-    """Render B same-resolution views in ONE dispatch (vmap over the
-    camera pytree). Serving/eval throughput on the TPU is dispatch-latency
-    bound at small frames (~100 ms tunnel round-trips dwarf ~6 ms of
-    compute at 27k/400^2) — batching B views per dispatch amortizes that
-    latency B-fold. The reference renders one view per CUDA launch
-    (`render.py:30-35`); there is no analogue because CUDA launches are
-    cheap. Returns the render() dict with a leading [B] axis."""
+    """Render B same-resolution views in ONE dispatch. Serving/eval
+    throughput on the TPU is dispatch-latency bound at small frames
+    (~100 ms tunnel round-trips dwarf ~6 ms of compute at 27k/400^2) —
+    batching B views per dispatch amortizes that latency B-fold. The
+    reference renders one view per CUDA launch (`render.py:30-35`);
+    there is no analogue because CUDA launches are cheap. Returns the
+    render() dict with a leading [B] axis.
+
+    mode: "map" (default) runs the per-camera program sequentially
+    inside the dispatch (`lax.map`) — each iteration is the exact
+    single-frame program, so per-frame device time matches the
+    single-camera path. "vmap" batches every stage instead; measured r4
+    it is ~2.4x SLOWER per frame at 311k/800^2 (the batched emission
+    cumsums + [B, 2^21] sort lose more than batching fuses — see
+    NOTES_PERF r4s4), kept for A/B."""
     cam_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
-    return _render_batch_cached(settings)(cam_batch, scene, bg_color)
+    return _render_batch_cached(settings, mode)(cam_batch, scene, bg_color)
 
 
 @functools.lru_cache(maxsize=16)
-def _render_batch_cached(settings):
+def _render_batch_cached(settings, mode="map"):
     # settings is a NamedTuple of python scalars -> hashable cache key.
     @jax.jit
     def f(cam_batch, scene, bg_color):
-        return jax.vmap(
-            lambda c: raster_api.render(c, scene, bg_color,
-                                        settings=settings)
-        )(cam_batch)
+        fn = lambda c: raster_api.render(c, scene, bg_color,  # noqa: E731
+                                         settings=settings)
+        if mode == "map":
+            return jax.lax.map(fn, cam_batch)
+        return jax.vmap(fn)(cam_batch)
 
     return f
 

@@ -56,6 +56,11 @@ class RasterizeSettings(NamedTuple):
     pallas_interpret: bool = False
     phase_a_tiles: int = 6  # binning phase-A slots per gaussian
     big_budget_divisor: int = 16  # phase-B budget = N / divisor
+    floor_band_budget: int = 256  # binning terminal-band element budget;
+    # 128 + phase_a_tiles=4 + big_budget_divisor=64 is the 1M+ "tight"
+    # plan (sort pad 2^23 -> 2^22, NOTES_PERF r4s4). Validate against the
+    # scene's straddle histogram (tools/tile_straddle.py) before opting
+    # in; overflow_emit flags a band-budget miss.
     route_capacity: int = 0  # tile-sharded render: per-destination-shard
     # duplicate slots for the all_to_all (0 = auto from dup_capacity)
     tile_cull: bool = True  # exact per-tile ellipse cull at emission: drop
@@ -198,6 +203,7 @@ def render(
             interpret=settings.pallas_interpret,
             phase_a_tiles=settings.phase_a_tiles,
             big_budget_divisor=settings.big_budget_divisor,
+            floor_band_budget=settings.floor_band_budget,
             grad_reduce=settings.grad_reduce,
             fast_chain=settings.fast_chain,
             tile_cull=settings.tile_cull,
@@ -220,6 +226,7 @@ def render(
             max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
             phase_a_tiles=settings.phase_a_tiles,
             big_budget_divisor=settings.big_budget_divisor,
+            floor_band_budget=settings.floor_band_budget,
             tile_cull=settings.tile_cull,
         )
         color, depth, final_T = out.color, out.depth, out.final_T

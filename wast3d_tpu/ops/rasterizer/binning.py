@@ -100,30 +100,42 @@ def compute_rects(means2d, radii, grid_x: int, grid_y: int,
     return xmin, ymin, xmax, ymax
 
 
-def _phase_plan(n: int, ra: int, max_tiles: int, big_budget_divisor: int):
+def _phase_plan(n: int, ra: int, max_tiles: int, big_budget_divisor: int,
+                floor_budget: int = 256):
     """Static emission budget schedule: (slots_start, slots, budget).
 
-    Two candidate shapes, picked per problem size (all static python at
+    Candidate shapes, picked per problem size (all static python at
     trace time):
       - "fat": bands grow 8x wide, budgets shrink 16x (the r2 plan) —
         fewest phases, biggest grid.
       - "lean": bands double, budgets shrink 4x — ~30% smaller grid,
         one-two extra cumsum/selection phases.
+      - "tight": bands grow by +covered (the band END doubles), budgets
+        shrink 4x — smallest grid, strictest budgets. Considered only
+        when it strictly improves the padded sort size (so default
+        problem sizes keep their proven fat/lean plans); callers opting
+        into it (ra=4 / div=64 / floor_budget=128 at 1M+, r4s4) must
+        validate band feasibility against the scene's straddle
+        distribution (tools/tile_straddle.py) or rely on the
+        overflow_emit auto-grow path.
     XLA's TPU sort pads its operand to the next POWER OF TWO (measured
     r3: shrinking the grid 2.02M -> 1.45M at n=200k changed nothing —
     both pad to 2^21 — while r2's 13.25N -> 10.1N "win" was really the
     2^22 -> 2^21 crossing). So the selection metric is the padded sort
     size, with fewer phases as the tiebreak: at 200k that picks fat
     (both pad to 2^21, fat has fewer cumsums), at 1M it picks lean
-    (6.8M pads to 2^23 vs fat 10.1M -> 2^24, halving the sort)."""
+    (6.8M pads to 2^23 vs fat 10.1M -> 2^24, halving the sort).
+    floor_budget is the terminal band's element budget (256 default;
+    128 shaves the floor band's slots — the lever that crosses 2^23 ->
+    2^22 at 1M with ra=4/div=64: grid 4.17M, NOTES_PERF r4s4)."""
 
     def build(grow, div_factor):
         phases = [(0, ra, None)]
         covered = ra
         divisor = big_budget_divisor
         while covered < max_tiles:
-            budget = max(256, min(n, n // divisor))
-            if budget == 256:
+            budget = max(floor_budget, min(n, n // divisor))
+            if budget == floor_budget:
                 extra = max_tiles - covered  # floor band: take the rest
             else:
                 extra = min(max_tiles - covered, covered * grow)
@@ -137,7 +149,11 @@ def _phase_plan(n: int, ra: int, max_tiles: int, big_budget_divisor: int):
         return 1 << (total - 1).bit_length()
 
     candidates = [build(7, 16), build(2, 4)]
-    return min(candidates, key=lambda p: (padded_grid(p), len(p)))
+    best = min(candidates, key=lambda p: (padded_grid(p), len(p)))
+    tight = build(1, 4)
+    if padded_grid(tight) < padded_grid(best):
+        best = tight
+    return best
 
 
 def bin_gaussians(
@@ -150,6 +166,7 @@ def bin_gaussians(
     max_tiles_per_gaussian: int = 512,
     phase_a_tiles: int = 6,
     big_budget_divisor: int = 16,
+    floor_band_budget: int = 256,
     ext_x: jnp.ndarray = None,
     ext_y: jnp.ndarray = None,
     conics: jnp.ndarray = None,
@@ -208,7 +225,8 @@ def bin_gaussians(
     # ~1.5x the typical duplicate count while avoiding the visible tile
     # truncation a single small budget causes.
     ra = min(phase_a_tiles, max_tiles_per_gaussian)
-    phases = _phase_plan(n, ra, max_tiles_per_gaussian, big_budget_divisor)
+    phases = _phase_plan(n, ra, max_tiles_per_gaussian, big_budget_divisor,
+                         floor_budget=floor_band_budget)
 
     te = jnp.minimum(tiles_touched, ra)
     ovf_rect = jnp.any(tiles_touched > max_tiles_per_gaussian)

@@ -103,7 +103,8 @@ _sorted_gather.defvjp(_sg_fwd, _sg_bwd)
     jax.jit,
     static_argnames=("width", "height", "dup_capacity",
                      "max_tiles_per_gaussian", "interpret",
-                     "phase_a_tiles", "big_budget_divisor", "grad_reduce",
+                     "phase_a_tiles", "big_budget_divisor",
+                     "floor_band_budget", "grad_reduce",
                      "fast_chain", "tile_cull", "pack_gather", "quad_power"),
 )
 def render_pallas(
@@ -117,6 +118,7 @@ def render_pallas(
     interpret: bool = False,
     phase_a_tiles: int = 6,
     big_budget_divisor: int = 16,
+    floor_band_budget: int = 256,
     grad_reduce: str = "scatter",
     fast_chain: bool = False,
     tile_cull: bool = True,
@@ -131,6 +133,7 @@ def render_pallas(
         prep.means2d, prep.depths, prep.radii, width, height,
         dup_capacity=dup_capacity, max_tiles_per_gaussian=max_tiles_per_gaussian,
         phase_a_tiles=phase_a_tiles, big_budget_divisor=big_budget_divisor,
+        floor_band_budget=floor_band_budget,
         ext_x=prep.extent_x, ext_y=prep.extent_y,
         conics=prep.conics if tile_cull else None,
         opacities=prep.opacities if tile_cull else None,

@@ -94,6 +94,7 @@ def _shard_render(
         max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
         phase_a_tiles=settings.phase_a_tiles,
         big_budget_divisor=settings.big_budget_divisor,
+        floor_band_budget=settings.floor_band_budget,
         ext_x=prep.extent_x, ext_y=prep.extent_y,
         conics=prep.conics if settings.tile_cull else None,
         opacities=prep.opacities if settings.tile_cull else None,
