@@ -256,10 +256,15 @@ def _bench_ladder(iters=5):
     # the 1M binning sort (2^23 -> 2^22, NOTES_PERF r4s4); its band
     # budgets hold on this scene (tools/tile_straddle.py). Fall back to
     # the default plan if a band budget ever misses (overflow_emit).
+    # Cap diet: actual dups are 2.69-2.74N pre-cull on this scene
+    # (tools/tile_straddle.py), so 3N holds ~25% post-cull headroom while
+    # cutting the K-row gather/pack (which scale with STATIC capacity)
+    # by a quarter vs 4N: fwd 104.8 -> 98.4 ms, step 271 -> 254 ms
+    # (runs/cap_ab.log).
     _tight = dict(phase_a_tiles=4, big_budget_divisor=64,
                   floor_band_budget=128)
-    for plan_kw, cap_mult in ((_tight, 4), (_tight, 6), ({}, 4), ({}, 6),
-                              ({}, 10)):
+    for plan_kw, cap_mult in ((_tight, 3), (_tight, 4), (_tight, 6),
+                              ({}, 4), ({}, 6), ({}, 10)):
         settings = api.RasterizeSettings(
             renderer="pallas", dup_capacity=cap_mult * n,
             max_per_tile=1024, chunk=32, **plan_kw,
@@ -344,15 +349,18 @@ def _bench_4m(iters=3):
                              fovx=0.9, fovy=0.9, width=w, height=h)
         bg = jnp.zeros(3)
 
-        # 5N: same kept-dup argument as the 1M ladder (+4M headroom);
-        # 20M pads to 2^25 either way, 6N would too. Tight emission plan
-        # first (grid 16.5M -> 2^24 vs the default 2^25: halves the
-        # 2-key fallback sort, NOTES_PERF r4s4), default plan as the
-        # band-budget-miss fallback.
-        for plan_kw in (dict(phase_a_tiles=4, big_budget_divisor=64,
-                             floor_band_budget=128), {}):
+        # Tight emission plan (grid 16.5M -> 2^24 vs the default 2^25:
+        # halves the 2-key fallback sort) + cap diet: dups are 1.8-2.0N
+        # pre-cull at 4M/1296x832 (tools/tile_straddle.py), so 2.5N holds
+        # >30% headroom while the smaller static K cuts gather/pack:
+        # 2.28 vs 1.40 MPix/s at 5N (runs/cap_ab.log, NOTES_PERF r4s4).
+        # Default plan at 5N as the band-budget-miss fallback.
+        _tight = dict(phase_a_tiles=4, big_budget_divisor=64,
+                      floor_band_budget=128)
+        for plan_kw, cap in ((_tight, 5 * n // 2), (_tight, 5 * n),
+                             ({}, 5 * n)):
             settings = api.RasterizeSettings(
-                renderer="pallas", dup_capacity=5 * n, max_per_tile=1024,
+                renderer="pallas", dup_capacity=cap, max_per_tile=1024,
                 chunk=32, **plan_kw,
             )
 
@@ -467,22 +475,41 @@ def _bench_trained_scene(iters=10):
     else:
         raise AssertionError("trained-scene bench overflowed at 10x")
 
-    out = fwd(scene, bg)
-    jax.block_until_ready(out)
-    # Pipelined (unchained) timing: at this frame size the tunnel's
-    # per-dispatch latency (~100ms+) dwarfs device time; independent
-    # dispatches overlap it away and measure device throughput, which is
-    # what a serving pipeline sees.
-    t0 = time.perf_counter()
-    outs = [fwd(scene, bg) for _ in range(iters)]
-    jax.block_until_ready(outs)
-    single = round(
-        (res * res / 1e6) / ((time.perf_counter() - t0) / iters), 2
-    )
+    # CHAINED on-device timing (r4s4 trap: unchained repeats of the same
+    # (executable, args) can be coalesced by the tunnel/backend into
+    # physically impossible readings — 875+ MPix/s for an 800^2 frame.
+    # R repeats run inside ONE dispatch via lax.scan with a bg data
+    # dependence, so the device serializes them and per-frame time is
+    # honest; cross-checked vs a standalone chained probe:
+    # single 20.5 here vs 19.1 — runs/batch_ab2.log.)
+    R = 4
 
-    # Camera-batched serving path: 8 jittered-orbit views per dispatch.
-    from wast3d_tpu.eval.render_sets import render_batch
+    def chained_frame_ms(render_fn, frames_per_rep):
+        def body(bgc, _):
+            out = render_fn(bgc)
+            return bgc + 0.0 * out.mean(), out.reshape(-1)[0]
 
+        @jax.jit
+        def run(bgc):
+            return jax.lax.scan(body, bgc, None, length=R)
+
+        o = run(bg)
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        o = run(bg)
+        jax.block_until_ready(o)
+        ms = (time.perf_counter() - t0) * 1e3
+        return ms / (R * frames_per_rep)
+
+    single_ms = chained_frame_ms(
+        lambda bgc: api.render(cam, scene, bgc, settings=settings)["render"],
+        1)
+    single = round((res * res / 1e6) / (single_ms / 1e3), 2)
+
+    # Camera-batched serving path: 8 jittered-orbit views per dispatch,
+    # sequential per camera (lax.map, matching render_batch's default —
+    # the vmapped whole-program batch measured 2.3x slower per frame,
+    # NOTES_PERF r4s4).
     cams = [
         look_at_camera(
             eye=[4 * np.sin(a), 0.2, -4 * np.cos(a)], target=[0, 0, 0],
@@ -490,33 +517,25 @@ def _bench_trained_scene(iters=10):
         )
         for a in np.linspace(0, 0.6, 8)
     ]
-    out = render_batch(cams, scene, bg, settings=settings)
-    jax.block_until_ready(out["render"])
-    t0 = time.perf_counter()
-    outs = [render_batch(cams, scene, bg, settings=settings)["render"]
-            for _ in range(max(3, iters // 2))]
-    jax.block_until_ready(outs)
-    batched = round(
-        (8 * res * res / 1e6)
-        / ((time.perf_counter() - t0) / max(3, iters // 2)), 2
-    )
-    # Serving tier: fast_chain on the same checkpoint (the mode the
-    # 30k/800^2 fast gate certifies).
+    cam_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    batch_ms = chained_frame_ms(
+        lambda bgc: jax.lax.map(
+            lambda c: api.render(c, scene, bgc,
+                                 settings=settings)["render"],
+            cam_batch),
+        8)
+    batched = round((res * res / 1e6) / (batch_ms / 1e3), 2)
+
+    # Serving tier: fast_chain + pack_gather on the same checkpoint (the
+    # mode the 30k/800^2 fast gate certifies).
     fast = None
     try:
         fsettings = settings._replace(fast_chain=True, pack_gather=True)
-
-        @jax.jit
-        def fwd_fast(scene, bg):
-            return api.render(cam, scene, bg, settings=fsettings)["render"]
-
-        o = fwd_fast(scene, bg)
-        jax.block_until_ready(o)
-        t0 = time.perf_counter()
-        outs = [fwd_fast(scene, bg) for _ in range(iters)]
-        jax.block_until_ready(outs)
-        fast = round(
-            (res * res / 1e6) / ((time.perf_counter() - t0) / iters), 2)
+        fast_ms = chained_frame_ms(
+            lambda bgc: api.render(cam, scene, bgc,
+                                   settings=fsettings)["render"],
+            1)
+        fast = round((res * res / 1e6) / (fast_ms / 1e3), 2)
     except Exception as e:  # noqa: BLE001
         print(f"# trained fast-chain bench failed: {e}", file=sys.stderr)
     out = {

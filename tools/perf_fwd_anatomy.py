@@ -33,7 +33,9 @@ def main():
     ap.add_argument("--n", type=int, default=200_000)
     ap.add_argument("--res", default="800x800")
     ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--cap-mult", type=int, default=4)
+    ap.add_argument("--cap-mult", type=float, default=4)
+    ap.add_argument("--plan", default="default",
+                    help="default | tight (ra=4/div=64/floor=128)")
     args = ap.parse_args()
 
     try:
@@ -59,13 +61,16 @@ def main():
     cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
                          fovx=0.9, fovy=0.9, width=w, height=h)
     bg = jnp.zeros(3)
-    dup_capacity = args.cap_mult * n
+    dup_capacity = int(args.cap_mult * n)
+    plan_kw = ({} if args.plan == "default" else
+               dict(phase_a_tiles=4, big_budget_divisor=64,
+                    floor_band_budget=128))
     interp = bool(os.environ.get("WAST3D_FORCE_CPU"))  # CPU smoke only
     if interp:
         jax.config.update("jax_platforms", "cpu")
     settings = api.RasterizeSettings(
         renderer="pallas", dup_capacity=dup_capacity, chunk=32,
-        pallas_interpret=interp)
+        pallas_interpret=interp, **plan_kw)
 
     cam_args = (cam.view_transform, cam.full_proj_transform,
                 cam.camera_center, cam.tan_fovx, cam.tan_fovy)
@@ -124,7 +129,7 @@ def main():
             p = prep_of(scene, cam_args)
             b = bin_gaussians(
                 p.means2d, p.depths, p.radii, w, h,
-                dup_capacity=dup_capacity,
+                dup_capacity=dup_capacity, **plan_kw,
                 ext_x=p.extent_x, ext_y=p.extent_y,
                 conics=p.conics if cull else None,
                 opacities=p.opacities if cull else None,
@@ -144,7 +149,7 @@ def main():
             p = prep_of(scene, cam_args)
             b = bin_gaussians(
                 p.means2d, p.depths, p.radii, w, h,
-                dup_capacity=dup_capacity,
+                dup_capacity=dup_capacity, **plan_kw,
                 ext_x=p.extent_x, ext_y=p.extent_y,
                 conics=p.conics if cull else None,
                 opacities=p.opacities if cull else None,
@@ -181,7 +186,7 @@ def main():
     def gather_packed(scene, cam_args):
         p = prep_of(scene, cam_args)
         b = bin_gaussians(
-            p.means2d, p.depths, p.radii, w, h, dup_capacity=dup_capacity,
+            p.means2d, p.depths, p.radii, w, h, dup_capacity=dup_capacity, **plan_kw,
             ext_x=p.extent_x, ext_y=p.extent_y,
             conics=p.conics, opacities=p.opacities,
         )
@@ -229,7 +234,7 @@ def main():
     timed("full_fast", mk_full(True, True))
     timed("full_fast_nocull", mk_full(True, False))
 
-    print(json.dumps({"n": n, "res": args.res, "cap_mult": args.cap_mult,
+    print(json.dumps({"n": n, "res": args.res, "cap_mult": args.cap_mult, "plan": args.plan,
                       "stages_ms": stages}))
 
 

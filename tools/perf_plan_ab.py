@@ -25,7 +25,9 @@ def main():
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--res", default="1296x832")
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--cap-mult", type=int, default=4)
+    ap.add_argument("--cap-mult", type=float, default=4)
+    ap.add_argument("--plans", default="default,tight",
+                    help="comma list: default,tight")
     ap.add_argument("--train", action="store_true")
     args = ap.parse_args()
 
@@ -50,15 +52,16 @@ def main():
     cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
                          fovx=0.9, fovy=0.9, width=w, height=h)
     bg = jnp.zeros(3)
-    plans = {
+    all_plans = {
         "default": {},
         "tight": dict(phase_a_tiles=4, big_budget_divisor=64,
                       floor_band_budget=128),
     }
+    plans = {k: all_plans[k] for k in args.plans.split(",")}
     report = {"n": n, "res": args.res, "cap_mult": args.cap_mult}
     for name, kw in plans.items():
         settings = api.RasterizeSettings(
-            renderer="pallas", dup_capacity=args.cap_mult * n,
+            renderer="pallas", dup_capacity=int(args.cap_mult * n),
             max_per_tile=1024, chunk=32, **kw)
 
         @jax.jit
