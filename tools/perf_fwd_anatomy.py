@@ -138,6 +138,23 @@ def main():
                     + ks(p.colors) + ks(p.conics))
         return f
 
+    # Binning sub-stages via the _probe early exits (emit -> sort ->
+    # decode -> ranges), each cumulative and keepalive-consumed.
+    def mk_bin_probe(probe):
+        def f(scene, cam_args):
+            p = prep_of(scene, cam_args)
+            out = bin_gaussians(
+                p.means2d, p.depths, p.radii, w, h,
+                dup_capacity=dup_capacity, **plan_kw,
+                ext_x=p.extent_x, ext_y=p.extent_y,
+                conics=p.conics, opacities=p.opacities,
+                _probe=probe,
+            )
+            return ks(out) + ks(p.colors) + ks(p.conics)
+        return f
+
+    for probe in ("emit", "sort", "decode", "ranges"):
+        timed(f"+bin:{probe}", mk_bin_probe(probe))
     timed("+binning(cull)", mk_bin(True))
     timed("+binning(nocull)", mk_bin(False))
 

@@ -173,6 +173,7 @@ def bin_gaussians(
     opacities: jnp.ndarray = None,
     jitter_margin: float = 0.0,
     _force_two_key: bool = False,
+    _probe: str = "",
 ) -> Binning:
     """Build the depth-sorted per-tile Gaussian lists.
 
@@ -327,30 +328,46 @@ def bin_gaussians(
     em0, nc0 = emission(xmin, ymin, rect_w, te, rank_of, 0, ra, cull_data)
     emitted.append(em0)
     culled_total = culled_total + nc0
-    # One fused cumsum for every band's budget-scarcity rank (b, N)
-    # instead of one N-cumsum per band.
+    # Band selection WITHOUT scatters (r4s4: the old per-band
+    # budget-rank scatter ran at ~0.2M updates/ms on v5e — ~25 of the 34
+    # emission ms at 1M; the (b,N) cumsum fed only those scatters). ONE
+    # tiles_touched-DESC order (+ its inverse rank, same two-sort trick
+    # as the depth presort) serves every band: the gaussians wanting
+    # band b (tiles_touched > start_b) are exactly the first count_b
+    # entries of that order, so "the budget_b selected rows" is a static
+    # PREFIX SLICE order_tt[:budget_b]. Budget scarcity therefore
+    # resolves by tile footprint (biggest splats keep their slots)
+    # instead of original index; that changes outcomes ONLY in the
+    # overflow_emit error state — when every band budget holds, the
+    # selected sets are identical and the sorted key set is unchanged
+    # (keys are unique per (tile, rank), so slot order never matters).
     if len(phases) > 1:
-        band_starts = jnp.asarray([p[0] for p in phases[1:]], jnp.int32)
-        wants_all = tiles_touched[None, :] > band_starts[:, None]
-        pranks_all = jnp.cumsum(wants_all.astype(jnp.int32), axis=1) - 1
-    for bi, (start, extra, budget) in enumerate(phases[1:]):
-        wants = wants_all[bi]
-        prank = pranks_all[bi]
-        selected = wants & (prank < budget)
-        # Slot -> row table (budget scarcity resolves by original index,
-        # not depth). Unfilled slots MUST be invalid (a default of
+        _, order_tt = jax.lax.sort(
+            (-tiles_touched, iota), dimension=0, num_keys=2
+        )
+        _, rank_tt = jax.lax.sort((order_tt, iota), dimension=0, num_keys=1)
+    for start, extra, budget in phases[1:]:
+        wants = tiles_touched > start
+        count = jnp.sum(wants, dtype=jnp.int32)
+        selected = wants & (rank_tt < budget)
+        # Slot -> row table. Unfilled slots MUST be invalid (a default of
         # row 0 would re-emit row 0's rect once per empty slot when row 0
         # is itself selected): mark them -1 and zero their slot budget.
-        sel_idx = jnp.full((budget,), -1, jnp.int32).at[
-            jnp.where(selected, prank, budget)
-        ].set(iota, mode="drop")
+        head = order_tt[: min(budget, n)]
+        if head.shape[0] < budget:  # tiny scenes: floor budget > n
+            head = jnp.concatenate(
+                [head, jnp.full((budget - head.shape[0],), -1, jnp.int32)]
+            )
+        sel_idx = jnp.where(
+            jnp.arange(budget, dtype=jnp.int32) < count, head, -1
+        )
         slot_live = sel_idx >= 0
         sel_safe = jnp.maximum(sel_idx, 0)
         te_phase = jnp.where(
             selected, jnp.clip(tiles_touched - start, 0, extra), 0
         )
         te = te + te_phase
-        ovf_emit = ovf_emit | jnp.any(wants & ~selected)
+        ovf_emit = ovf_emit | (count > budget)
         te_sel = jnp.where(slot_live, te[sel_safe], 0)
         em_b, nc_b = emission(
             xmin[sel_safe], ymin[sel_safe], rect_w[sel_safe],
@@ -362,6 +379,11 @@ def bin_gaussians(
     total = jnp.sum(te) - culled_total
     ovf_dup = jnp.zeros((), bool)
 
+    # _probe: measurement-only early exits (tools/perf_fwd_anatomy.py)
+    # returning the raw stage product as a plain array — NOT a Binning.
+    if _probe == "emit":
+        return jnp.concatenate([e[0] for e in emitted])
+
     # 3. Sort. Valid entries sort to the FRONT (invalid carry
     # tile == num_tiles), so the emission grid's padding can be dropped
     # with a static prefix slice: downstream gather/pack/blend scale with
@@ -369,9 +391,13 @@ def bin_gaussians(
     if packable:
         keys = jnp.concatenate([e[0] for e in emitted])
         sorted_key = jax.lax.sort(keys, dimension=0)
+        if _probe == "sort":
+            return sorted_key
         if 0 < dup_capacity < sorted_key.shape[0]:
             ovf_dup = total > dup_capacity
             sorted_key = sorted_key[:dup_capacity]
+        if _probe == "decode":
+            return (sorted_key % jnp.uint32(n)).astype(jnp.int32)
         sorted_rank = (sorted_key % jnp.uint32(n)).astype(jnp.int32)
         # 4. Tile ranges: one searchsorted over the packed keys; needle
         # tile*N is <= every key of `tile` and > every key of tile-1.
@@ -379,6 +405,8 @@ def bin_gaussians(
         bounds = jnp.searchsorted(sorted_key, needles, side="left").astype(
             jnp.int32
         )
+        if _probe == "ranges":
+            return bounds + sorted_rank[:1]
         tile_start, tile_end = bounds[:-1], bounds[1:]
         sorted_tile = (sorted_key // jnp.uint32(n)).astype(jnp.int32)
     else:
