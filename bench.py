@@ -130,6 +130,32 @@ def main():
     else:
         raise AssertionError("headline bench overflowed at 20x capacity")
 
+    # Scene-adaptive plan tuning (ops/rasterizer/autoplan.py): synthesize
+    # the emission plan + duplicate capacity from the scene's measured
+    # straddle histogram — the production serving flow (tune once per
+    # scene at load). Overflow on the tuned config falls back to the
+    # knob-default settings established above.
+    try:
+        from wast3d_tpu.ops.rasterizer.autoplan import tune_serving_settings
+
+        tuned = tune_serving_settings(scene, [cam], settings)
+
+        @jax.jit
+        def fwd_tuned(scene, camera, bg, tuned=tuned):
+            return api.render(camera, scene, bg, settings=tuned)["render"]
+
+        @jax.jit
+        def fwd_tuned_ovf(scene, camera, bg, tuned=tuned):
+            return api.render(camera, scene, bg, settings=tuned)["overflow"]
+
+        if bool(fwd_tuned_ovf(scene, cam, bg)):
+            print("# bench: tuned plan overflowed; keeping knob defaults",
+                  file=sys.stderr)
+        else:
+            settings, fwd = tuned, fwd_tuned
+    except Exception as e:  # noqa: BLE001 — tuning must not kill the bench
+        print(f"# bench: autoplan tuning failed: {e!r}", file=sys.stderr)
+
     out = fwd(scene, cam, bg)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -475,6 +501,39 @@ def _bench_trained_scene(iters=10):
     else:
         raise AssertionError("trained-scene bench overflowed at 10x")
 
+    # Camera-batched serving path cameras (also the autoplan probe set):
+    # 8 jittered-orbit views.
+    cams = [
+        look_at_camera(
+            eye=[4 * np.sin(a), 0.2, -4 * np.cos(a)], target=[0, 0, 0],
+            up=[0, -1, 0], fovx=0.9, fovy=0.9, width=res, height=res,
+        )
+        for a in np.linspace(0, 0.6, 8)
+    ]
+
+    # Scene-adaptive plan tuning (the production serving flow): trained
+    # scenes have far lighter straddle distributions than the synthetic
+    # bench scene (~4% vs 17-19% above 4 tiles), so the histogram-
+    # synthesized plan typically halves the sort pad AND the gather width
+    # vs the knob defaults. Falls back on overflow.
+    try:
+        from wast3d_tpu.ops.rasterizer.autoplan import tune_serving_settings
+
+        tuned = tune_serving_settings(scene, [cam] + cams, settings)
+
+        @jax.jit
+        def fwd_tuned_ovf(scene, bg, tuned=tuned):
+            return api.render(cam, scene, bg, settings=tuned)["overflow"]
+
+        if bool(fwd_tuned_ovf(scene, bg)):
+            print("# trained bench: tuned plan overflowed; knob defaults",
+                  file=sys.stderr)
+        else:
+            settings = tuned
+    except Exception as e:  # noqa: BLE001
+        print(f"# trained bench: autoplan tuning failed: {e!r}",
+              file=sys.stderr)
+
     # CHAINED on-device timing (r4s4 trap: unchained repeats of the same
     # (executable, args) can be coalesced by the tunnel/backend into
     # physically impossible readings — 875+ MPix/s for an 800^2 frame.
@@ -510,13 +569,6 @@ def _bench_trained_scene(iters=10):
     # sequential per camera (lax.map, matching render_batch's default —
     # the vmapped whole-program batch measured 2.3x slower per frame,
     # NOTES_PERF r4s4).
-    cams = [
-        look_at_camera(
-            eye=[4 * np.sin(a), 0.2, -4 * np.cos(a)], target=[0, 0, 0],
-            up=[0, -1, 0], fovx=0.9, fovy=0.9, width=res, height=res,
-        )
-        for a in np.linspace(0, 0.6, 8)
-    ]
     cam_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
     batch_ms = chained_frame_ms(
         lambda bgc: jax.lax.map(

@@ -28,6 +28,13 @@ def main() -> None:
                              "--no-fast for the f32 training tier)")
     parser.add_argument("--batch", type=int, default=1,
                         help="cameras per dispatch (render_batch)")
+    parser.add_argument("--autoplan", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="tune the emission plan + duplicate capacity "
+                             "to the scene's measured straddle histogram "
+                             "at load (ops/rasterizer/autoplan.py); "
+                             "overflowing views fall back to the "
+                             "conservative defaults automatically")
     args = parser.parse_args()
 
     source = args.source_path
@@ -51,6 +58,7 @@ def main() -> None:
             fast_chain=args.fast,
         ),
         batch=args.batch,
+        autoplan=args.autoplan,
     )
 
 

@@ -80,6 +80,7 @@ def render_set(
     settings: raster_api.RasterizeSettings = raster_api.RasterizeSettings(),
     save_depth: bool = False,
     batch: int = 8,
+    fallback_settings: Optional[raster_api.RasterizeSettings] = None,
 ) -> str:
     base = os.path.join(model_path, name, f"ours_{iteration}")
     render_dir = os.path.join(base, "renders")
@@ -90,6 +91,13 @@ def render_set(
         # the one compiled [batch]-shaped program.
         padded = [c for c, _ in group] + [group[-1][0]] * (batch - len(group))
         out = render_batch(padded, scene, bg_color, settings=settings)
+        if fallback_settings is not None and bool(
+                jnp.any(out["overflow"])):
+            # A view outside the autoplan probe envelope tripped a static
+            # capacity: re-render this group on the conservative settings
+            # rather than write a truncated image.
+            out = render_batch(padded, scene, bg_color,
+                               settings=fallback_settings)
         renders = np.asarray(out["render"][:len(group)])
         depths = np.asarray(out["depth"][:len(group)]) if save_depth else None
         for j, (_, gt) in enumerate(group):
@@ -115,8 +123,14 @@ def render_sets(
     resolution: int = -1,
     settings: raster_api.RasterizeSettings = raster_api.RasterizeSettings(),
     batch: int = 8,
+    autoplan: bool = True,
 ) -> None:
-    """Reference `render_sets` (`render.py:37-55`)."""
+    """Reference `render_sets` (`render.py:37-55`).
+
+    autoplan: tune the emission plan + duplicate capacity to the loaded
+    scene's straddle histogram before rendering (pallas renderer only;
+    ops/rasterizer/autoplan.py). Falls back to `settings` if a probe
+    camera overflows the tuned plan."""
     from wast3d_tpu.scene.datasets import build_cameras, load_scene_info
 
     if iteration == -1:
@@ -127,11 +141,20 @@ def render_sets(
     info = load_scene_info(source_path, white_background=white_background,
                            eval_split=True)
     bg = jnp.ones(3) if white_background else jnp.zeros(3)
+    fallback = None
+    if autoplan and settings.renderer == "pallas":
+        from wast3d_tpu.ops.rasterizer.autoplan import tune_serving_settings
+
+        probe = build_cameras(
+            info.train_cameras or info.test_cameras, resolution)
+        fallback = settings
+        settings = tune_serving_settings(
+            scene, [c for c, _ in probe], settings)
     if not skip_train:
         render_set(model_path, "train", iteration,
                    build_cameras(info.train_cameras, resolution), scene, bg,
-                   settings, batch=batch)
+                   settings, batch=batch, fallback_settings=fallback)
     if not skip_test and info.test_cameras:
         render_set(model_path, "test", iteration,
                    build_cameras(info.test_cameras, resolution), scene, bg,
-                   settings, batch=batch)
+                   settings, batch=batch, fallback_settings=fallback)

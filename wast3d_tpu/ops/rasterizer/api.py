@@ -61,6 +61,13 @@ class RasterizeSettings(NamedTuple):
     # plan (sort pad 2^23 -> 2^22, NOTES_PERF r4s4). Validate against the
     # scene's straddle histogram (tools/tile_straddle.py) before opting
     # in; overflow_emit flags a band-budget miss.
+    phase_plan: tuple = ()  # explicit emission plan: static tuple of
+    # (start, extra, budget) triples overriding the three knobs above.
+    # Synthesized per scene from the measured straddle histogram by
+    # ops/rasterizer/autoplan.tune_serving_settings — the knob presets
+    # cannot express e.g. the single fat 38k band that crosses the
+    # 2^21 -> 2^20 sort-pad boundary at the 200k bench scene. Overflow
+    # semantics are unchanged.
     route_capacity: int = 0  # tile-sharded render: per-destination-shard
     # duplicate slots for the all_to_all (0 = auto from dup_capacity)
     tile_cull: bool = True  # exact per-tile ellipse cull at emission: drop
@@ -204,6 +211,7 @@ def render(
             phase_a_tiles=settings.phase_a_tiles,
             big_budget_divisor=settings.big_budget_divisor,
             floor_band_budget=settings.floor_band_budget,
+            phase_plan=settings.phase_plan,
             grad_reduce=settings.grad_reduce,
             fast_chain=settings.fast_chain,
             tile_cull=settings.tile_cull,
@@ -227,6 +235,7 @@ def render(
             phase_a_tiles=settings.phase_a_tiles,
             big_budget_divisor=settings.big_budget_divisor,
             floor_band_budget=settings.floor_band_budget,
+            phase_plan=settings.phase_plan,
             tile_cull=settings.tile_cull,
         )
         color, depth, final_T = out.color, out.depth, out.final_T

@@ -172,6 +172,7 @@ def bin_gaussians(
     conics: jnp.ndarray = None,
     opacities: jnp.ndarray = None,
     jitter_margin: float = 0.0,
+    phase_plan: tuple = (),
     _force_two_key: bool = False,
     _probe: str = "",
 ) -> Binning:
@@ -191,6 +192,15 @@ def bin_gaussians(
     tile's sample box on the low side for per-pixel jitter (offsets in
     (-1, 0], `gaussian_renderer/__init__.py:31`): pass 1.0 when
     sampling_offsets are in play, 0.0 otherwise.
+
+    phase_plan: optional explicit emission plan — a static tuple of
+    (start, extra, budget) triples replacing `_phase_plan`'s knob-derived
+    schedule. The first triple must be (0, ra, None) (phase A). Scene-
+    adaptive tuning (ops/rasterizer/autoplan.py) synthesizes budgets from
+    the measured straddle histogram, which crosses sort-pad boundaries
+    the preset knob plans cannot (e.g. 2^21 -> 2^20 at the 200k bench
+    scene needs a ~38k band the presets never produce). Band semantics,
+    overflow flags and the sorted key set are identical to the knob path.
 
     _force_two_key: test hook — exercise the 2-key sort fallback (the
     path problems > ~1M x 4212 tiles take) at small sizes."""
@@ -225,9 +235,27 @@ def bin_gaussians(
     # (screen-filling splats near the camera). Bounds the emission grid at
     # ~1.5x the typical duplicate count while avoiding the visible tile
     # truncation a single small budget causes.
-    ra = min(phase_a_tiles, max_tiles_per_gaussian)
-    phases = _phase_plan(n, ra, max_tiles_per_gaussian, big_budget_divisor,
-                         floor_budget=floor_band_budget)
+    if phase_plan:
+        phases = [tuple(p) for p in phase_plan]
+        assert phases[0][0] == 0 and phases[0][2] is None, phases[0]
+        # Coverage must reach the rect ceiling: tiles beyond the plan's
+        # coverage would be dropped with NO overflow flag (overflow_rect
+        # only fires above max_tiles_per_gaussian).
+        coverage = phases[0][1]
+        for start, extra, budget in phases[1:]:
+            # Bands must tile [ra, coverage) contiguously: te accumulates
+            # clip(tt - start, 0, extra) per band, which sums to
+            # min(tt, coverage) only without gaps or overlaps.
+            assert start == coverage and extra > 0 and budget > 0, phases
+            coverage += extra
+        assert coverage >= max_tiles_per_gaussian, (
+            coverage, max_tiles_per_gaussian)
+        ra = min(phases[0][1], max_tiles_per_gaussian)
+    else:
+        ra = min(phase_a_tiles, max_tiles_per_gaussian)
+        phases = _phase_plan(n, ra, max_tiles_per_gaussian,
+                             big_budget_divisor,
+                             floor_budget=floor_band_budget)
 
     te = jnp.minimum(tiles_touched, ra)
     ovf_rect = jnp.any(tiles_touched > max_tiles_per_gaussian)

@@ -104,7 +104,7 @@ _sorted_gather.defvjp(_sg_fwd, _sg_bwd)
     static_argnames=("width", "height", "dup_capacity",
                      "max_tiles_per_gaussian", "interpret",
                      "phase_a_tiles", "big_budget_divisor",
-                     "floor_band_budget", "grad_reduce",
+                     "floor_band_budget", "phase_plan", "grad_reduce",
                      "fast_chain", "tile_cull", "pack_gather", "quad_power"),
 )
 def render_pallas(
@@ -119,6 +119,7 @@ def render_pallas(
     phase_a_tiles: int = 6,
     big_budget_divisor: int = 16,
     floor_band_budget: int = 256,
+    phase_plan: tuple = (),
     grad_reduce: str = "scatter",
     fast_chain: bool = False,
     tile_cull: bool = True,
@@ -133,7 +134,7 @@ def render_pallas(
         prep.means2d, prep.depths, prep.radii, width, height,
         dup_capacity=dup_capacity, max_tiles_per_gaussian=max_tiles_per_gaussian,
         phase_a_tiles=phase_a_tiles, big_budget_divisor=big_budget_divisor,
-        floor_band_budget=floor_band_budget,
+        floor_band_budget=floor_band_budget, phase_plan=phase_plan,
         ext_x=prep.extent_x, ext_y=prep.extent_y,
         conics=prep.conics if tile_cull else None,
         opacities=prep.opacities if tile_cull else None,

@@ -65,7 +65,8 @@ def _tile_pixel_coords(grid_x: int, grid_y: int) -> Tuple[jnp.ndarray, jnp.ndarr
     jax.jit,
     static_argnames=("width", "height", "dup_capacity", "max_per_tile", "chunk",
                      "max_tiles_per_gaussian", "phase_a_tiles",
-                     "big_budget_divisor", "floor_band_budget", "tile_cull"),
+                     "big_budget_divisor", "floor_band_budget", "phase_plan",
+                     "tile_cull"),
 )
 def render_tiled(
     prep: Preprocessed,
@@ -80,6 +81,7 @@ def render_tiled(
     phase_a_tiles: int = 6,
     big_budget_divisor: int = 16,
     floor_band_budget: int = 256,
+    phase_plan: tuple = (),
     tile_cull: bool = True,
 ) -> RenderOutput:
     """Rasterize preprocessed Gaussians. All capacities static."""
@@ -91,7 +93,7 @@ def render_tiled(
         prep.means2d, prep.depths, prep.radii, width, height,
         dup_capacity=dup_capacity, max_tiles_per_gaussian=max_tiles_per_gaussian,
         phase_a_tiles=phase_a_tiles, big_budget_divisor=big_budget_divisor,
-        floor_band_budget=floor_band_budget,
+        floor_band_budget=floor_band_budget, phase_plan=phase_plan,
         ext_x=prep.extent_x, ext_y=prep.extent_y,
         conics=prep.conics if tile_cull else None,
         opacities=prep.opacities if tile_cull else None,
