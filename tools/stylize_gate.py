@@ -121,6 +121,47 @@ def w1(a, b, q=256):
     return float(np.mean(np.abs(np.quantile(a, qs) - np.quantile(b, qs))))
 
 
+def render_artifacts(scene, out_dir, tag, width=800, height=800):
+    """Render RGB + depth of a scene from the bench orbit camera and save
+    PNGs — the visual check the reference performs on the merged stylized
+    scene (notebook 11 cells 40-51 render RGB and depth of the result).
+    Returns the paths written."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from wast3d_tpu.core.camera import look_at_camera
+    from wast3d_tpu.ops.rasterizer import api
+
+    n = int(scene.xyz.shape[0])
+    cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
+                         fovx=0.9, fovy=0.9, width=width, height=height)
+    bg = jnp.zeros(3)
+    interpret = bool(os.environ.get("WAST3D_FORCE_CPU"))
+    for cap_mult in (6, 10, 20):
+        settings = api.RasterizeSettings(
+            renderer="pallas", dup_capacity=cap_mult * n, chunk=32,
+            pallas_interpret=interpret)
+        out = jax.jit(
+            lambda s, b, settings=settings: api.render(
+                cam, s, b, settings=settings))(scene, bg)
+        if not bool(np.asarray(out["overflow"])):
+            break
+    rgb = np.clip(np.asarray(out["render"]), 0, 1)
+    depth = np.asarray(out["depth"])
+    paths = []
+    for name, img in (("rgb", rgb), ("depth", depth)):
+        if name == "depth":
+            lo, hi = np.percentile(img[img > 0], [2, 98]) if (img > 0).any() \
+                else (0.0, 1.0)
+            img = np.clip((img - lo) / max(hi - lo, 1e-9), 0, 1)
+            img = np.stack([img] * 3, -1)
+        p = os.path.join(out_dir, f"{tag}_{name}.png")
+        Image.fromarray((img * 255).astype(np.uint8)).save(p)
+        paths.append(p)
+    return paths
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--content-n", type=int, default=200_000)
@@ -143,6 +184,11 @@ def main():
                          "stays 0.0 (reference parity); the gate measures "
                          "the covering configuration.")
     ap.add_argument("--out", default="runs/stylegate")
+    ap.add_argument("--render", action="store_true",
+                    help="merge + Voronoi de-overlap the fitted patches "
+                         "and save RGB/depth PNGs of the stylized scene "
+                         "and the content scene (notebook 11 cells 40-51 "
+                         "visual check)")
     args = ap.parse_args()
     _enable_cache()
 
@@ -232,8 +278,25 @@ def main():
     covered = float(np.mean(np.sqrt(np.maximum(np.asarray(dmin)[:, 0], 0))
                             < r_ball))
 
+    os.makedirs(args.out, exist_ok=True)
+    render_info = {}
+    if args.render:
+        from wast3d_tpu.stylize import merge
+
+        t_r0 = time.time()
+        stylized = merge.merge_patches(
+            cpatch, [np.asarray(f) for f in fitted], domain=domain, cfg=cfg,
+            max_sh_degree=content.max_sh_degree)
+        render_artifacts(stylized, args.out, "stylized")
+        render_artifacts(content, args.out, "content")
+        render_info = {
+            "merged_n": int(stylized.num_active),
+            "merge_render_s": round(time.time() - t_r0, 1),
+        }
+
     res = {
         "content_n": args.content_n, "patch_m": m,
+        **render_info,
         "balls": len(circles), "fit_steps": args.fit_steps,
         "desc_loss_init": round(float(np.mean(init_losses)), 5),
         "desc_loss_final": round(float(np.mean(final_losses)), 5),

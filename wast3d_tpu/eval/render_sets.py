@@ -85,21 +85,33 @@ def render_set(
     base = os.path.join(model_path, name, f"ours_{iteration}")
     render_dir = os.path.join(base, "renders")
     gt_dir = os.path.join(base, "gt")
+    def pull(out, n):
+        # ONE host transfer for render + depth + overflow: a separate
+        # bool(jnp.any(overflow)) sync per batch would serialize the
+        # render loop against the device for a 1-byte flag.
+        leaves = {"render": out["render"][:n]}
+        if save_depth:
+            leaves["depth"] = out["depth"][:n]
+        if fallback_settings is not None:
+            leaves["ovf"] = jnp.any(out["overflow"])
+        return jax.device_get(leaves)
+
     for b0 in range(0, len(cameras), batch):
         group = cameras[b0:b0 + batch]
         # Pad the tail by repeating the last view so every dispatch reuses
         # the one compiled [batch]-shaped program.
         padded = [c for c, _ in group] + [group[-1][0]] * (batch - len(group))
         out = render_batch(padded, scene, bg_color, settings=settings)
-        if fallback_settings is not None and bool(
-                jnp.any(out["overflow"])):
+        host = pull(out, len(group))
+        if fallback_settings is not None and bool(host["ovf"]):
             # A view outside the autoplan probe envelope tripped a static
             # capacity: re-render this group on the conservative settings
             # rather than write a truncated image.
             out = render_batch(padded, scene, bg_color,
                                settings=fallback_settings)
-        renders = np.asarray(out["render"][:len(group)])
-        depths = np.asarray(out["depth"][:len(group)]) if save_depth else None
+            host = pull(out, len(group))
+        renders = host["render"]
+        depths = host.get("depth")
         for j, (_, gt) in enumerate(group):
             idx = b0 + j
             save_image(os.path.join(render_dir, f"{idx:05d}.png"), renders[j])
@@ -143,13 +155,35 @@ def render_sets(
     bg = jnp.ones(3) if white_background else jnp.zeros(3)
     fallback = None
     if autoplan and settings.renderer == "pallas":
-        from wast3d_tpu.ops.rasterizer.autoplan import tune_serving_settings
+        try:
+            from wast3d_tpu.ops.rasterizer.autoplan import (
+                tune_serving_settings)
 
-        probe = build_cameras(
-            info.train_cameras or info.test_cameras, resolution)
-        fallback = settings
-        settings = tune_serving_settings(
-            scene, [c for c, _ in probe], settings)
+            # Probe envelope = every split that will actually render
+            # (test views can sit outside the train orbit; probing
+            # train-only while rendering test pays a double render per
+            # overflowing batch). Subsample the CameraInfo list BEFORE
+            # build_cameras — probing needs geometry only, and building
+            # all cameras decodes/resizes every ground-truth image.
+            probe_infos = []
+            if not skip_train:
+                probe_infos += list(info.train_cameras)
+            if not skip_test:
+                probe_infos += list(info.test_cameras or [])
+            probe_infos = probe_infos or list(
+                info.train_cameras or info.test_cameras)
+            if len(probe_infos) > 8:
+                idx = np.linspace(0, len(probe_infos) - 1, 8).round()
+                probe_infos = [probe_infos[int(i)]
+                               for i in sorted(set(idx.tolist()))]
+            probe = build_cameras(probe_infos, resolution)
+            fallback = settings
+            settings = tune_serving_settings(
+                scene, [c for c, _ in probe], settings)
+        except Exception as e:  # noqa: BLE001 — tuning must not kill eval
+            print(f"# render_sets: autoplan tuning failed: {e!r}; "
+                  "using knob defaults")
+            fallback = None
     if not skip_train:
         render_set(model_path, "train", iteration,
                    build_cameras(info.train_cameras, resolution), scene, bg,

@@ -142,10 +142,17 @@ def synthesize_plan(n: int, need, max_tiles: int, band_margin: float = 1.5):
 
 def measure_duplicates(scene, cameras, plan, max_tiles: int,
                        scaling_modifier: float = 1.0,
-                       jitter_margin: float = 0.0):
+                       jitter_margin: float = 0.0,
+                       tile_cull: bool = True):
     """Post-cull duplicate count + emit-overflow check under `plan` for
     each camera (device-side; binning with the full grid, no cap slice).
-    Returns (num_duplicates [C], any_emit_overflow bool)."""
+    Returns (num_duplicates [C], any_emit_overflow bool).
+
+    tile_cull/jitter_margin must mirror the render pipeline being sized
+    (pallas_path passes conics/opacities only when settings.tile_cull and
+    jitter_margin=1.0 under pixel jitter): probing WITH the cull while
+    serving without it undersizes dup_capacity by the 13-19% the cull
+    drops, guaranteeing overflow_dup on every frame."""
     import jax
 
     @jax.jit
@@ -157,7 +164,8 @@ def measure_duplicates(scene, cameras, plan, max_tiles: int,
             dup_capacity=0, max_tiles_per_gaussian=max_tiles,
             phase_plan=plan,
             ext_x=prep.extent_x, ext_y=prep.extent_y,
-            conics=prep.conics, opacities=prep.opacities,
+            conics=prep.conics if tile_cull else None,
+            opacities=prep.opacities if tile_cull else None,
             jitter_margin=jitter_margin,
         )
         return b.num_duplicates, b.overflow_emit
@@ -178,6 +186,7 @@ def tune_serving_settings(
     cap_margin: float = 1.15,
     max_cameras: int = 8,
     scaling_modifier: float = 1.0,
+    jitter: bool = False,
 ) -> RasterizeSettings:
     """Pick the tightest feasible emission plan + duplicate capacity for
     serving `scene` from cameras like `cameras` (evenly subsampled to
@@ -221,7 +230,9 @@ def tune_serving_settings(
     plan = synthesize_plan(n, need, max_tiles, band_margin=band_margin)
 
     dups, emit_ovf = measure_duplicates(
-        scene, cams, plan, max_tiles, scaling_modifier=scaling_modifier)
+        scene, cams, plan, max_tiles, scaling_modifier=scaling_modifier,
+        jitter_margin=1.0 if jitter else 0.0,
+        tile_cull=bool(base.tile_cull))
     if emit_ovf:  # cannot happen by construction; belt and braces
         return base
     cap = int(np.ceil(cap_margin * float(dups.max()) / 4096.0) * 4096)

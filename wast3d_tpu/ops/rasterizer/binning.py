@@ -237,7 +237,11 @@ def bin_gaussians(
     # truncation a single small budget causes.
     if phase_plan:
         phases = [tuple(p) for p in phase_plan]
-        assert phases[0][0] == 0 and phases[0][2] is None, phases[0]
+        # ValueError (not assert): a gapped or short plan silently drops
+        # tiles with NO overflow flag — the validation must survive -O.
+        if not (phases[0][0] == 0 and phases[0][2] is None):
+            raise ValueError(f"phase_plan must start (0, ra, None): "
+                             f"{phases[0]}")
         # Coverage must reach the rect ceiling: tiles beyond the plan's
         # coverage would be dropped with NO overflow flag (overflow_rect
         # only fires above max_tiles_per_gaussian).
@@ -246,10 +250,16 @@ def bin_gaussians(
             # Bands must tile [ra, coverage) contiguously: te accumulates
             # clip(tt - start, 0, extra) per band, which sums to
             # min(tt, coverage) only without gaps or overlaps.
-            assert start == coverage and extra > 0 and budget > 0, phases
+            if not (start == coverage and extra > 0 and budget > 0):
+                raise ValueError(
+                    f"phase_plan bands must tile contiguously with "
+                    f"positive budgets: {phases}")
             coverage += extra
-        assert coverage >= max_tiles_per_gaussian, (
-            coverage, max_tiles_per_gaussian)
+        if coverage < max_tiles_per_gaussian:
+            raise ValueError(
+                f"phase_plan coverage {coverage} < max_tiles_per_gaussian "
+                f"{max_tiles_per_gaussian}: uncovered tiles would be "
+                f"dropped unflagged")
         ra = min(phases[0][1], max_tiles_per_gaussian)
     else:
         ra = min(phase_a_tiles, max_tiles_per_gaussian)
