@@ -96,6 +96,24 @@ class TestTuneServing:
         assert grid < default_grid
         assert tuned.dup_capacity < base.dup_capacity
 
+    def test_rect_ceiling_shrinks_to_probed_envelope(self):
+        # Small splats never straddle anywhere near 512 tiles: the tuner
+        # must shrink max_tiles_per_gaussian to pow2(peak*1.5) so the
+        # high bands (and the floor band's slots) vanish, while renders
+        # on the probed cameras stay exact and overflow-free.
+        scene = _mini_scene(n=300, cap=512)
+        cams = _cams()
+        base = api.RasterizeSettings(
+            renderer="pallas", pallas_interpret=True,
+            dup_capacity=1 << 14, chunk=16)
+        tuned = tune_serving_settings(scene, cams, base)
+        assert tuned.max_tiles_per_gaussian < base.max_tiles_per_gaussian
+        covered = tuned.phase_plan[0][1] + sum(
+            e for _, e, _ in tuned.phase_plan[1:])
+        assert covered >= tuned.max_tiles_per_gaussian
+        o = api.render(cams[0], scene, jnp.zeros(3), settings=tuned)
+        assert not bool(o["overflow"])
+
     def test_empty_cameras_returns_base(self):
         scene = _mini_scene(n=10, cap=16)
         base = api.RasterizeSettings()

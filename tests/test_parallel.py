@@ -346,6 +346,58 @@ class TestTileShardedRender:
         assert bool(got["overflow"])
 
 
+class TestShardedPhotometricLoss:
+    """parallel/losses.py halo-exchange loss vs the jit-level loss: same
+    value and same gradient (up to fp reassociation), including the
+    strip-padding rows the tile grid adds beyond the true image height."""
+
+    def _pair(self, h=48, hpad=128, w=64, seed=0):
+        rng = np.random.default_rng(seed)
+        strip = jnp.asarray(rng.uniform(0, 1, (hpad, w, 3)), jnp.float32)
+        gt = jnp.asarray(rng.uniform(0, 1, (h, w, 3)), jnp.float32)
+        return strip, gt
+
+    def test_value_and_grad_match(self):
+        from wast3d_tpu.ops.image_losses import photometric_loss
+        from wast3d_tpu.parallel.losses import photometric_loss_sharded
+
+        strip, gt = self._pair()
+        mesh = make_mesh(8, data=1)
+
+        def ref_loss(s):
+            return photometric_loss(s[:48], gt, 0.2)
+
+        def sh_loss(s):
+            return photometric_loss_sharded(s, gt, mesh, 48, 0.2)
+
+        v_ref, g_ref = jax.value_and_grad(ref_loss)(strip)
+        with mesh:
+            v_sh, g_sh = jax.value_and_grad(sh_loss)(strip)
+        np.testing.assert_allclose(float(v_sh), float(v_ref),
+                                   rtol=1e-5, atol=1e-7)
+        # Padding rows (>= H) must get ZERO gradient from the sharded loss
+        # (the jit-level loss never sees them through the [:H] crop).
+        np.testing.assert_allclose(np.asarray(g_sh[:48]),
+                                   np.asarray(g_ref[:48]),
+                                   rtol=1e-4, atol=1e-6)
+        assert float(jnp.abs(g_sh[48:]).max()) == 0.0
+
+    def test_unpadded_height(self):
+        """H == height_pad (every row valid) on a 4-shard model axis."""
+        from wast3d_tpu.ops.image_losses import photometric_loss
+        from wast3d_tpu.parallel.losses import photometric_loss_sharded
+
+        strip, _ = self._pair(h=64, hpad=64, w=32, seed=3)
+        gt = jnp.asarray(
+            np.random.default_rng(4).uniform(0, 1, (64, 32, 3)), jnp.float32)
+        mesh = make_mesh(8, data=2)  # model axis = 4 -> 16 rows/shard
+        with mesh:
+            v_sh = photometric_loss_sharded(strip, gt, mesh, 64, 0.2)
+        v_ref = photometric_loss(strip, gt, 0.2)
+        np.testing.assert_allclose(float(v_sh), float(v_ref),
+                                   rtol=1e-5, atol=1e-7)
+
+
 class TestTileShardedTrain:
     def test_step_matches_single_device(self):
         """BASELINE config-4 step (tile-sharded render in the loss) must

@@ -92,6 +92,10 @@ def main():
                          "(CPU-interpret blend is slow; the 4M-shape leg "
                          "above is compile-only)")
     ap.add_argument("--dup-mult", type=int, default=5)
+    ap.add_argument("--scale-table", default="2,4,8",
+                    help="comma-separated device counts for the compile-"
+                         "only collective/memory scaling table ('' to "
+                         "skip)")
     ap.add_argument("--out", default="runs/sharded4m")
     args = ap.parse_args()
 
@@ -145,53 +149,63 @@ def main():
     res: dict = {"n": args.n, "devices": args.devices, "res": args.res}
 
     # --- 1. compile-only at the true config-4 shape ---
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wast3d_tpu.train import reconstruct as R
+
     n = args.n
     settings = api.RasterizeSettings(
         renderer="pallas", dup_capacity=args.dup_mult * n, max_per_tile=1024,
         chunk=32, pallas_interpret=True, grad_reduce="segsum",
     )
-    step = make_tile_sharded_train_step(mesh, cfg, settings)
-    t0 = time.time()
-    with mesh:
-        # Abstract TrainState at the full 4M shape: build a tiny state,
-        # then scale every capacity-axis leaf to n as ShapeDtypeStructs
-        # with the real shardings (no 4M host materialization needed).
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from wast3d_tpu.train import reconstruct as R
-
-        tiny_cap = 64
-        tiny = bench_mod._build(tiny_cap, cap=tiny_cap)
-        st_tiny = jax.eval_shape(lambda: R.init_train_state(tiny, cfg, 1.0))
-        row = NamedSharding(mesh, P("model"))
-        rep = NamedSharding(mesh, P())
-
-        def scale(x):
-            if x.ndim >= 1 and x.shape[0] == tiny_cap:
-                return jax.ShapeDtypeStruct((n,) + x.shape[1:], x.dtype,
-                                            sharding=row)
-            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep)
-
-        state_shape = jax.tree.map(scale, st_tiny)
-        gt_shape = jax.ShapeDtypeStruct((h, w, 3), jnp.float32, sharding=rep)
-        lowered = step.lower(state_shape, cam, gt_shape, bg)
-        print(f"# lowered 4M step in {time.time() - t0:.0f}s", file=sys.stderr)
+    def compile_leg(leg_mesh):
+        """Lower+compile the step at the full-N shape on `leg_mesh`;
+        return (collective table, memory analysis dict)."""
+        step = make_tile_sharded_train_step(leg_mesh, cfg, settings)
         t0 = time.time()
-        compiled = lowered.compile()
-        print(f"# compiled 4M step in {time.time() - t0:.0f}s", file=sys.stderr)
+        with leg_mesh:
+            # Abstract TrainState at the full 4M shape: build a tiny
+            # state, then scale every capacity-axis leaf to n as
+            # ShapeDtypeStructs with the real shardings (no 4M host
+            # materialization needed).
+            tiny_cap = 64
+            tiny = bench_mod._build(tiny_cap, cap=tiny_cap)
+            st_tiny = jax.eval_shape(
+                lambda: R.init_train_state(tiny, cfg, 1.0))
+            row = NamedSharding(leg_mesh, P("model"))
+            rep = NamedSharding(leg_mesh, P())
 
-    hlo = compiled.as_text()
-    coll = hlo_collectives(hlo)
+            def scale(x):
+                if x.ndim >= 1 and x.shape[0] == tiny_cap:
+                    return jax.ShapeDtypeStruct((n,) + x.shape[1:], x.dtype,
+                                                sharding=row)
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep)
+
+            state_shape = jax.tree.map(scale, st_tiny)
+            gt_shape = jax.ShapeDtypeStruct((h, w, 3), jnp.float32,
+                                            sharding=rep)
+            lowered = step.lower(state_shape, cam, gt_shape, bg)
+            compiled = lowered.compile()
+            p = len(leg_mesh.devices.flatten())
+            print(f"# compiled {n // 10**6}M step on {p} devices in "
+                  f"{time.time() - t0:.0f}s", file=sys.stderr)
+        coll = hlo_collectives(compiled.as_text())
+        try:
+            ma = compiled.memory_analysis()
+            mem = {
+                "argument_size_mb": round(
+                    ma.argument_size_in_bytes / 2**20, 1),
+                "output_size_mb": round(ma.output_size_in_bytes / 2**20, 1),
+                "temp_size_mb": round(ma.temp_size_in_bytes / 2**20, 1),
+            }
+        except Exception as e:  # noqa: BLE001 - backend-dependent API
+            mem = str(e)[:200]
+        return coll, mem
+
+    coll, mem = compile_leg(mesh)
     res["hlo_collectives_4m"] = coll
-    try:
-        ma = compiled.memory_analysis()
-        res["memory_analysis_4m"] = {
-            "argument_size_mb": round(ma.argument_size_in_bytes / 2**20, 1),
-            "output_size_mb": round(ma.output_size_in_bytes / 2**20, 1),
-            "temp_size_mb": round(ma.temp_size_in_bytes / 2**20, 1),
-        }
-    except Exception as e:  # noqa: BLE001 - backend-dependent API
-        res["memory_analysis_4m"] = str(e)[:200]
+    res["memory_analysis_4m"] = mem
 
     total_coll_gb = sum(d["bytes"] for d in coll.values()) / 2**30
     scene_gb = n * (3 + 48 + 3 + 4 + 1) * 4 / 2**30  # param floats per row
@@ -204,6 +218,28 @@ def main():
     res["ici_time_est_ms_v5p8"] = round(
         sum(d["bytes"] for d in coll.values()) / (args.devices * ici_bw)
         * 1e3, 3)
+
+    # --- 1b. device-count scaling table (compile-only): collective
+    # bytes + per-device temp memory at P=2/4/8. The design claim is
+    # per-step comms O(dups/P)+O(halo) and per-device memory ~O(N/P);
+    # this table is the virtual-mesh evidence.
+    if args.scale_table:
+        table = {}
+        for d in (int(x) for x in args.scale_table.split(",")):
+            if d == args.devices:
+                c, m = coll, mem
+            else:
+                c, m = compile_leg(make_mesh(d, data=1))
+            table[str(d)] = {
+                "collective_total_mb": round(
+                    sum(v["bytes"] for v in c.values()) / 2**20, 1),
+                "collectives": c,
+                "temp_size_mb": (m.get("temp_size_mb")
+                                 if isinstance(m, dict) else m),
+                "argument_size_mb": (m.get("argument_size_mb")
+                                     if isinstance(m, dict) else None),
+            }
+        res["scaling_table"] = table
 
     # --- 2. executed step at reduced N ---
     n2 = args.exec_n

@@ -226,6 +226,19 @@ def tune_serving_settings(
         counts, max_tt = probe_straddle(
             scene, cams, thresholds, scaling_modifier=scaling_modifier)
 
+    elif _padded(max(int(peak_tt * 1.5), 32)) < max_tiles:
+        # SHRINK the rect ceiling to the probed envelope (x1.5 margin,
+        # pow2): dropping unused high bands removes the floor band's
+        # slots — the r4s3 blocker for small-grid plans (~127k slots at
+        # 512 tiles / budget 256 on the 1M scene; a trained 311k scene's
+        # peak straddle is far below 512). Safe because overflow_rect
+        # still fires for any camera whose splats exceed the shrunk
+        # ceiling and every caller keeps a fallback/growth loop — the
+        # exact "overflow-growth story for rect caps" that makes
+        # aggressive ceilings serviceable (train/schedule.py grows the
+        # ceiling and clears the plan when it trips).
+        max_tiles = _padded(max(int(peak_tt * 1.5), 32))
+
     need = dict(zip(thresholds, counts.max(axis=0).tolist()))
     plan = synthesize_plan(n, need, max_tiles, band_margin=band_margin)
 

@@ -135,6 +135,7 @@ def make_tile_sharded_train_step(
     settings: raster_api.RasterizeSettings,
     spatial_lr_scale: float = 1.0,
     sphere_cfg: Optional[SphereConfig] = None,
+    sharded_loss: bool = True,
 ):
     """BASELINE config-4 training step: one camera, Gaussians AND the
     rendered image tile-strip partitioned over `model` via
@@ -145,10 +146,13 @@ def make_tile_sharded_train_step(
     express at all, `rasterizer_impl.cu:198-343`).
 
     Per-step collectives: ONE duplicate-routing all_to_all (O(dups/P)
-    per link) + its reverse in the backward, image-strip all-gathers for
-    the SSIM window and the psum of the scalar loss — no scene-sized
-    collective anywhere. Gradients, Adam, and densification stats stay
-    row-local on each shard.
+    per link) + its reverse in the backward, two 5-row ppermute halo
+    exchanges for the strip-sharded SSIM (parallel/losses.py; replaces
+    the 33 image-sized all-gathers / 427 MB the jit-level loss cost in
+    the r4 audit) and the psum of the scalar loss — no scene-sized OR
+    image-sized collective anywhere. Gradients, Adam, and densification
+    stats stay row-local on each shard. sharded_loss=False restores the
+    jit-level loss for A/B.
 
     Parity scope: pixel jitter is not threaded through the strip path
     (bench/serving measure jitter-off; training parity tests pin the
@@ -171,8 +175,15 @@ def make_tile_sharded_train_step(
             s = scene.with_params(p)
             out = render_tile_sharded(camera, s, bg_color, mesh, settings,
                                       means2d_offset=m2d)
-            loss = photometric_loss(out["render"][:H], gt,
-                                    opt_cfg.lambda_dssim)
+            if sharded_loss:
+                from wast3d_tpu.parallel.losses import (
+                    photometric_loss_sharded)
+
+                loss = photometric_loss_sharded(
+                    out["render"], gt, mesh, H, opt_cfg.lambda_dssim)
+            else:
+                loss = photometric_loss(out["render"][:H], gt,
+                                        opt_cfg.lambda_dssim)
             if sphere_cfg is not None:
                 loss = loss + sphere_regularizer(s, sphere_cfg)
             return loss, out

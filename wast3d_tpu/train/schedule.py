@@ -60,6 +60,12 @@ def overflow_growth_update(settings, aux: dict):
     rect = _flag(aux, "overflow_rect")
     emit = _flag(aux, "overflow_emit")
     route = _flag(aux, "overflow_route")
+    if (rect or emit) and settings.phase_plan:
+        # An explicit plan (autoplan-synthesized or hand-set) overrides
+        # the knob-derived schedule, so growing phase_a_tiles /
+        # max_tiles_per_gaussian under it would change NOTHING: drop the
+        # plan and let the (grown) knob path re-derive a feasible one.
+        upd["phase_plan"] = ()
     if rect:
         upd["max_tiles_per_gaussian"] = settings.max_tiles_per_gaussian * 2
     if emit:
