@@ -35,7 +35,18 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--cap-mult", type=float, default=4)
     ap.add_argument("--plan", default="default",
-                    help="default | tight (ra=4/div=64/floor=128)")
+                    help="default | tight (ra=4/div=64/floor=128) | tuned "
+                         "(autoplan.tune_serving_settings)")
+    ap.add_argument("--ply", default=None,
+                    help="anatomy of a trained PLY scene instead of the "
+                         "synthetic bench scene (uses the qgate radius-4 "
+                         "camera)")
+    ap.add_argument("--plan-literal", default=None,
+                    help="python literal dict {'phase_plan': ..., "
+                         "'max_tiles': int, 'dup_capacity': int} — use a "
+                         "precomputed tuned plan (workaround for the "
+                         "in-process autoplan hang over the tunnel, see "
+                         "NOTES_PERF r5)")
     args = ap.parse_args()
 
     try:
@@ -55,14 +66,21 @@ def main():
         TILE, bin_gaussians, tile_grid)
     from wast3d_tpu.ops.rasterizer.preprocess import preprocess
 
-    n = args.n
     w, h = (int(x) for x in args.res.split("x"))
-    scene = bench_mod._build(n, cap=n)
-    cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, -1, 0],
+    if args.ply:
+        from wast3d_tpu.scene import ply as ply_mod
+        scene = ply_mod.load_ply(args.ply)
+        n = int(scene.xyz.shape[0])
+        eye = [0, 0, -4]
+    else:
+        n = args.n
+        scene = bench_mod._build(n, cap=n)
+        eye = [0, 0, -3]
+    cam = look_at_camera(eye=eye, target=[0, 0, 0], up=[0, -1, 0],
                          fovx=0.9, fovy=0.9, width=w, height=h)
     bg = jnp.zeros(3)
     dup_capacity = int(args.cap_mult * n)
-    plan_kw = ({} if args.plan == "default" else
+    plan_kw = ({} if args.plan in ("default", "tuned") else
                dict(phase_a_tiles=4, big_budget_divisor=64,
                     floor_band_budget=128))
     interp = bool(os.environ.get("WAST3D_FORCE_CPU"))  # CPU smoke only
@@ -71,6 +89,24 @@ def main():
     settings = api.RasterizeSettings(
         renderer="pallas", dup_capacity=dup_capacity, chunk=32,
         pallas_interpret=interp, **plan_kw)
+    if args.plan_literal:
+        import ast
+        lit = ast.literal_eval(args.plan_literal)
+        dup_capacity = int(lit["dup_capacity"])
+        plan_kw = dict(
+            phase_plan=tuple(tuple(p) for p in lit["phase_plan"]),
+            max_tiles_per_gaussian=int(lit["max_tiles"]))
+        settings = settings._replace(dup_capacity=dup_capacity, **plan_kw)
+    elif args.plan == "tuned":
+        from wast3d_tpu.ops.rasterizer.autoplan import tune_serving_settings
+        settings = tune_serving_settings(scene, [cam], settings)
+        dup_capacity = int(settings.dup_capacity)
+        plan_kw = dict(
+            phase_plan=settings.phase_plan,
+            max_tiles_per_gaussian=settings.max_tiles_per_gaussian)
+        print(f"# tuned: dup_capacity={dup_capacity} "
+              f"max_tiles={settings.max_tiles_per_gaussian} "
+              f"plan={settings.phase_plan}", file=sys.stderr)
 
     cam_args = (cam.view_transform, cam.full_proj_transform,
                 cam.camera_center, cam.tan_fovx, cam.tan_fovy)
@@ -92,28 +128,47 @@ def main():
 
     stages = {}
 
+    # CHAINED timing (r4s4 trap, now observed on THIS tool: unchained
+    # repeats of one (executable, args) pair coalesced to 0.03 ms
+    # "stages" on the trained-scene run — 3 orders of magnitude below
+    # device compute). R reps run inside ONE dispatch via lax.scan with
+    # the carry perturbing the view matrix (a real input), so the device
+    # serializes them; consecutive dispatches chain through the carry.
+    R = 4
+
     def timed(name, fn):
-        f = jax.jit(fn)
-        out = f(scene, cam_args)
-        jax.block_until_ready(out)
+        def body(c, _):
+            view_t, proj_t, center, tfx, tfy = cam_args
+            ca = (view_t + c, proj_t, center, tfx, tfy)
+            s = fn(scene, ca, c)
+            return c + 0.0 * s, None
+
+        @jax.jit
+        def run(c):
+            c, _ = jax.lax.scan(body, c, None, length=R)
+            return c
+
+        c = run(jnp.float32(0.0))
+        jax.block_until_ready(c)
+        reps = max(1, args.iters // R)
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = f(scene, cam_args)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.iters * 1e3
+        for _ in range(reps):
+            c = run(c * 0.0)
+        jax.block_until_ready(c)
+        dt = (time.perf_counter() - t0) / (reps * R) * 1e3
         stages[name] = round(dt, 2)
         print(f"{name:>24}: {dt:8.2f} ms", flush=True)
         return dt
 
     # S0: preprocess only
-    def s0(scene, cam_args):
+    def s0(scene, cam_args, c):
         p = prep_of(scene, cam_args)
         return ks(p.means2d) + ks(p.conics) + ks(p.colors) + ks(p.depths)
 
     timed("preprocess", s0)
 
     # S1: + depth pre-sort + rank inverse (binning steps 1)
-    def s1(scene, cam_args):
+    def s1(scene, cam_args, c):
         p = prep_of(scene, cam_args)
         iota = jnp.arange(n, dtype=jnp.int32)
         _, order = jax.lax.sort(
@@ -125,7 +180,7 @@ def main():
 
     # S2 family: full binning, cull on/off
     def mk_bin(cull):
-        def f(scene, cam_args):
+        def f(scene, cam_args, c):
             p = prep_of(scene, cam_args)
             b = bin_gaussians(
                 p.means2d, p.depths, p.radii, w, h,
@@ -141,7 +196,7 @@ def main():
     # Binning sub-stages via the _probe early exits (emit -> sort ->
     # decode -> ranges), each cumulative and keepalive-consumed.
     def mk_bin_probe(probe):
-        def f(scene, cam_args):
+        def f(scene, cam_args, c):
             p = prep_of(scene, cam_args)
             out = bin_gaussians(
                 p.means2d, p.depths, p.radii, w, h,
@@ -162,7 +217,7 @@ def main():
     grid_x, grid_y = tile_grid(w, h)
 
     def mk_gather(cull, fast):
-        def f(scene, cam_args):
+        def f(scene, cam_args, c):
             p = prep_of(scene, cam_args)
             b = bin_gaussians(
                 p.means2d, p.depths, p.radii, w, h,
@@ -200,7 +255,7 @@ def main():
     # after. Means carry hi+lo bf16 halves so recentring stays subpixel.
     # Serving-only (u32 bitcast is not differentiable). This stage times
     # the full replacement for +gather_pack(bf16).
-    def gather_packed(scene, cam_args):
+    def gather_packed(scene, cam_args, c):
         p = prep_of(scene, cam_args)
         b = bin_gaussians(
             p.means2d, p.depths, p.radii, w, h, dup_capacity=dup_capacity, **plan_kw,
@@ -242,8 +297,8 @@ def main():
     def mk_full(fast, cull):
         s = settings._replace(fast_chain=fast, tile_cull=cull)
 
-        def f(scene, cam_args):
-            return ks(api.render(cam, scene, bg, settings=s)["render"])
+        def f(scene, cam_args, c):
+            return ks(api.render(cam, scene, bg + c, settings=s)["render"])
         return f
 
     timed("full_exact", mk_full(False, True))

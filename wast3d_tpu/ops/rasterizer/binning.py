@@ -267,7 +267,7 @@ def bin_gaussians(
                              big_budget_divisor,
                              floor_budget=floor_band_budget)
 
-    te = jnp.minimum(tiles_touched, ra)
+    te0 = jnp.minimum(tiles_touched, ra)
     ovf_rect = jnp.any(tiles_touched > max_tiles_per_gaussian)
     ovf_emit = jnp.zeros((), bool)
     emitted = []  # per-phase packed keys (or (tile, rank) pairs)
@@ -363,35 +363,51 @@ def bin_gaussians(
         rank2d = jnp.broadcast_to(rank_s[None, :], tile_id.shape)
         return (tile_id.reshape(-1), rank2d.reshape(-1)), n_culled
 
-    em0, nc0 = emission(xmin, ymin, rect_w, te, rank_of, 0, ra, cull_data)
+    em0, nc0 = emission(xmin, ymin, rect_w, te0, rank_of, 0, ra, cull_data)
     emitted.append(em0)
     culled_total = culled_total + nc0
-    # Band selection WITHOUT scatters (r4s4: the old per-band
-    # budget-rank scatter ran at ~0.2M updates/ms on v5e — ~25 of the 34
-    # emission ms at 1M; the (b,N) cumsum fed only those scatters). ONE
-    # tiles_touched-DESC order (+ its inverse rank, same two-sort trick
-    # as the depth presort) serves every band: the gaussians wanting
-    # band b (tiles_touched > start_b) are exactly the first count_b
-    # entries of that order, so "the budget_b selected rows" is a static
-    # PREFIX SLICE order_tt[:budget_b]. Budget scarcity therefore
-    # resolves by tile footprint (biggest splats keep their slots)
-    # instead of original index; that changes outcomes ONLY in the
-    # overflow_emit error state — when every band budget holds, the
-    # selected sets are identical and the sorted key set is unchanged
-    # (keys are unique per (tile, rank), so slot order never matters).
-    if len(phases) > 1:
-        _, order_tt = jax.lax.sort(
-            (-tiles_touched, iota), dimension=0, num_keys=2
+    # Band selection WITHOUT scatters and with ONE single-key u32 sort
+    # (r5: replaces the r4s4 two-sort design — a 2-key tiles_touched-DESC
+    # sort plus its inverse-rank sort — with a single payload-free u32
+    # sort; 2-key/payload sorts cost ~2.5x a bare u32 sort on v5e, and
+    # the inverse rank turns out to be unnecessary). Key = band-count-
+    # DESC packed with the row index: nb(g) = #bands g wants
+    # (tiles_touched > start_b); key = (B - nb) * N + g. Bands are
+    # nested (start_b increases), so the candidates of band b — every g
+    # with nb >= b — are exactly the first count_b entries of this
+    # order, and "the budget_b selected rows" is a static PREFIX SLICE
+    # band_order[:budget_b]. Budget scarcity resolves by footprint
+    # BUCKET (band count) then original index, instead of exact
+    # tiles_touched; that changes outcomes ONLY in the overflow_emit
+    # error state — when every band budget holds, the selected sets are
+    # identical and the sorted key set is unchanged (keys are unique per
+    # (tile, rank), so slot order never matters).
+    #
+    # The per-gaussian cumulative emission count te also no longer needs
+    # an N-array update per band: in the non-overflow state a gaussian
+    # selected in band b was selected in every earlier band, so its
+    # cumulative count through band b is min(tiles_touched, band_end) —
+    # computable elementwise from the GATHERED tiles_touched of the
+    # budget rows. (In the flagged overflow_emit state both designs
+    # emit partial rects; callers regrow or fall back either way.)
+    n_bands = len(phases) - 1
+    if n_bands:
+        nb = jnp.zeros((n,), jnp.uint32)
+        for start, _, _ in phases[1:]:
+            nb = nb + (tiles_touched > start).astype(jnp.uint32)
+        bkey = (jnp.uint32(n_bands) - nb) * jnp.uint32(n) + iota.astype(
+            jnp.uint32
         )
-        _, rank_tt = jax.lax.sort((order_tt, iota), dimension=0, num_keys=1)
+        band_order = (jax.lax.sort(bkey, dimension=0) % jnp.uint32(n)).astype(
+            jnp.int32
+        )
+    total = jnp.sum(te0) - culled_total
     for start, extra, budget in phases[1:]:
-        wants = tiles_touched > start
-        count = jnp.sum(wants, dtype=jnp.int32)
-        selected = wants & (rank_tt < budget)
+        count = jnp.sum(tiles_touched > start, dtype=jnp.int32)
         # Slot -> row table. Unfilled slots MUST be invalid (a default of
         # row 0 would re-emit row 0's rect once per empty slot when row 0
         # is itself selected): mark them -1 and zero their slot budget.
-        head = order_tt[: min(budget, n)]
+        head = band_order[: min(budget, n)]
         if head.shape[0] < budget:  # tiny scenes: floor budget > n
             head = jnp.concatenate(
                 [head, jnp.full((budget - head.shape[0],), -1, jnp.int32)]
@@ -401,12 +417,12 @@ def bin_gaussians(
         )
         slot_live = sel_idx >= 0
         sel_safe = jnp.maximum(sel_idx, 0)
-        te_phase = jnp.where(
-            selected, jnp.clip(tiles_touched - start, 0, extra), 0
-        )
-        te = te + te_phase
         ovf_emit = ovf_emit | (count > budget)
-        te_sel = jnp.where(slot_live, te[sel_safe], 0)
+        tt_sel = tiles_touched[sel_safe]
+        te_sel = jnp.where(slot_live, jnp.minimum(tt_sel, start + extra), 0)
+        total = total + jnp.sum(
+            jnp.where(slot_live, jnp.clip(tt_sel - start, 0, extra), 0)
+        )
         em_b, nc_b = emission(
             xmin[sel_safe], ymin[sel_safe], rect_w[sel_safe],
             te_sel, rank_of[sel_safe], start, extra,
@@ -414,7 +430,7 @@ def bin_gaussians(
         )
         emitted.append(em_b)
         culled_total = culled_total + nc_b
-    total = jnp.sum(te) - culled_total
+        total = total - nc_b
     ovf_dup = jnp.zeros((), bool)
 
     # _probe: measurement-only early exits (tools/perf_fwd_anatomy.py)
