@@ -519,17 +519,24 @@ def _bench_trained_scene(iters=10):
     try:
         from wast3d_tpu.ops.rasterizer.autoplan import tune_serving_settings
 
-        tuned = tune_serving_settings(scene, [cam] + cams, settings)
+        # Quantile ladder: the median-dup capacity first (the K-row
+        # gather scales with STATIC dup_capacity — the largest stage of
+        # the trained frame), the worst-probe-view capacity if the
+        # measured camera overflows the median cap.
+        for cq in (0.5, 1.0):
+            tuned = tune_serving_settings(scene, [cam] + cams, settings,
+                                          cap_quantile=cq)
 
-        @jax.jit
-        def fwd_tuned_ovf(scene, bg, tuned=tuned):
-            return api.render(cam, scene, bg, settings=tuned)["overflow"]
+            @jax.jit
+            def fwd_tuned_ovf(scene, bg, tuned=tuned):
+                return api.render(cam, scene, bg, settings=tuned)["overflow"]
 
-        if bool(fwd_tuned_ovf(scene, bg)):
-            print("# trained bench: tuned plan overflowed; knob defaults",
-                  file=sys.stderr)
-        else:
-            settings = tuned
+            if bool(fwd_tuned_ovf(scene, bg)):
+                print(f"# trained bench: tuned plan (cq={cq}) overflowed",
+                      file=sys.stderr)
+            else:
+                settings = tuned
+                break
     except Exception as e:  # noqa: BLE001
         print(f"# trained bench: autoplan tuning failed: {e!r}",
               file=sys.stderr)

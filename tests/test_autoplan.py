@@ -96,6 +96,27 @@ class TestTuneServing:
         assert grid < default_grid
         assert tuned.dup_capacity < base.dup_capacity
 
+
+    def test_cap_quantile_monotone_and_safe(self):
+        # cap_quantile sizes dup_capacity from a quantile of the probed
+        # per-camera duplicate counts: q=0 (min view) <= q=1 (worst
+        # view), and a q=1 tuning stays overflow-free on every probed
+        # camera (q<1 may legitimately overflow fat views - that is the
+        # caller's fallback path).
+        scene = _mini_scene(n=300, cap=512)
+        cams = _cams()
+        base = api.RasterizeSettings(
+            renderer="pallas", pallas_interpret=True,
+            dup_capacity=1 << 14, chunk=16)
+        t_lo = tune_serving_settings(scene, cams, base, cap_quantile=0.0)
+        t_med = tune_serving_settings(scene, cams, base, cap_quantile=0.5)
+        t_hi = tune_serving_settings(scene, cams, base, cap_quantile=1.0)
+        assert t_lo.dup_capacity <= t_med.dup_capacity <= t_hi.dup_capacity
+        bg = jnp.zeros(3)
+        for cam in cams:
+            assert not bool(
+                api.render(cam, scene, bg, settings=t_hi)["overflow"])
+
     def test_rect_ceiling_shrinks_to_probed_envelope(self):
         # Small splats never straddle anywhere near 512 tiles: the tuner
         # must shrink max_tiles_per_gaussian to pow2(peak*1.5) so the

@@ -178,8 +178,11 @@ def render_sets(
                                for i in sorted(set(idx.tolist()))]
             probe = build_cameras(probe_infos, resolution)
             fallback = settings
+            # cap_quantile 0.5: gather width sized to the MEDIAN probe
+            # view; the rare fatter view trips overflow and re-renders
+            # on `fallback` (the loop below already does this).
             settings = tune_serving_settings(
-                scene, [c for c, _ in probe], settings)
+                scene, [c for c, _ in probe], settings, cap_quantile=0.5)
         except Exception as e:  # noqa: BLE001 — tuning must not kill eval
             print(f"# render_sets: autoplan tuning failed: {e!r}; "
                   "using knob defaults")

@@ -187,17 +187,26 @@ def tune_serving_settings(
     max_cameras: int = 8,
     scaling_modifier: float = 1.0,
     jitter: bool = False,
+    cap_quantile: float = 1.0,
 ) -> RasterizeSettings:
     """Pick the tightest feasible emission plan + duplicate capacity for
     serving `scene` from cameras like `cameras` (evenly subsampled to
     `max_cameras` probe views).
 
     band_margin: headroom multiplier on each band's measured demand (for
-    unprobed views). cap_margin: dup_capacity = cap_margin x the worst
-    probed post-cull duplicate count, rounded up to a 4096 multiple.
-    Overflow flags remain the safety net; callers seeing overflow on a
-    tuned config should fall back to `base` (plan budgets cannot be
-    auto-grown through the knobs once phase_plan is set).
+    unprobed views). cap_margin: dup_capacity = cap_margin x the
+    cap_quantile-quantile of the probed post-cull duplicate counts,
+    rounded up to a 4096 multiple. The K-row gather+pack scales with the
+    STATIC dup_capacity and is the trained-scene frame's largest stage
+    (8 of 17 ms at 311k, runs/trained_anatomy_tuned.log), so sizing it
+    to the WORST probe view (quantile 1.0, the safe default) taxes every
+    frame for the fattest camera. Callers with an overflow fallback loop
+    (eval/render_sets re-renders overflowing batches on the fallback
+    settings) can pass cap_quantile ~0.5: typical views keep the lean
+    gather, outlier views pay one re-render. Overflow flags remain the
+    safety net either way; callers seeing overflow on a tuned config
+    should fall back to `base` (plan budgets cannot be auto-grown
+    through the knobs once phase_plan is set).
     """
     cams = list(cameras)
     if len(cams) > max_cameras:
@@ -248,7 +257,8 @@ def tune_serving_settings(
         tile_cull=bool(base.tile_cull))
     if emit_ovf:  # cannot happen by construction; belt and braces
         return base
-    cap = int(np.ceil(cap_margin * float(dups.max()) / 4096.0) * 4096)
+    dup_ref = float(np.quantile(dups, cap_quantile))
+    cap = int(np.ceil(cap_margin * dup_ref / 4096.0) * 4096)
     return base._replace(
         phase_plan=plan,
         max_tiles_per_gaussian=max_tiles,
