@@ -205,6 +205,10 @@ def main():
     ap.add_argument("--log-every", type=int, default=500)
     ap.add_argument("--no-cache", action="store_true",
                     help="skip the persistent compile cache")
+    ap.add_argument("--densify-grad-scale", type=float, default=1.0,
+                    help="multiply densify_grad_threshold by this "
+                         "(0.5 = double the densification budget; the "
+                         "r5 capacity-vs-scene-difficulty ablation)")
     ap.add_argument("--fresh", action="store_true",
                     help="ignore existing chkpnt* in the model dir "
                          "(default: resume from the latest)")
@@ -239,6 +243,10 @@ def main():
         position_lr_max_steps=args.iters,
         densify_until_iter=args.iters // 2,
     )
+    if args.densify_grad_scale != 1.0:
+        opt = opt.__class__(**{**opt.__dict__,
+            "densify_grad_threshold":
+                opt.densify_grad_threshold * args.densify_grad_scale})
     # Duplicate budget ~5x the initial point count (measured dup/N at the
     # gate scenes is ~3-4): avoids the first few overflow->grow recompiles
     # when seeding from a large GT point cloud.
@@ -293,6 +301,7 @@ def main():
     res.update(iters=args.iters, res=args.res, blobs=args.blobs,
                pts=args.pts, detail=args.detail, init_gt=args.init_gt,
                fast_chain=args.fast_chain,
+               densify_grad_scale=args.densify_grad_scale,
                n_gaussians=int(trainer.state.scene.num_active),
                wall_s=round(time.time() - t0, 1),
                train_wall_s=round(train_wall, 1),
