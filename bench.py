@@ -446,7 +446,23 @@ def _bench_4m(iters=3):
                 print("# 4M: tuned plan overflowed; keeping knob ladder",
                       file=sys.stderr)
             else:
-                settings, fwd, out = tuned, fwd_tuned, out_t
+                # Pick the faster of knob vs tuned by a short timed
+                # probe (r5: at 4M the tuned cap diet trades against a
+                # leaner knob grid within measurement noise — measure
+                # instead of assuming; this is the load-time decision a
+                # serving deployment would make once per scene).
+                def _probe(f):
+                    t0 = time.perf_counter()
+                    for _ in range(3):
+                        o, _ = f(scene, cam, bg)
+                    jax.block_until_ready(o)
+                    return time.perf_counter() - t0
+
+                if _probe(fwd_tuned) < _probe(fwd):
+                    settings, fwd, out = tuned, fwd_tuned, out_t
+                else:
+                    print("# 4M: knob plan faster than tuned; keeping it",
+                          file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# 4M: autoplan tuning failed: {e!r}", file=sys.stderr)
         t0 = time.perf_counter()
