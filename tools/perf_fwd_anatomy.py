@@ -306,7 +306,10 @@ def main():
     timed("full_fast", mk_full(True, True))
     timed("full_fast_nocull", mk_full(True, False))
 
-    print(json.dumps({"n": n, "res": args.res, "cap_mult": args.cap_mult, "plan": args.plan,
+    plan_name = "literal" if args.plan_literal else args.plan
+    print(json.dumps({"n": n, "res": args.res, "cap_mult": args.cap_mult,
+                      "plan": plan_name, "ply": args.ply,
+                      "dup_capacity": dup_capacity,
                       "stages_ms": stages}))
 
 
